@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract): run every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Per-query time = full plan execution to ``collect()`` (same action the
+driver uses). The session is created once and reused across all queries
+— the reference amortizes its cluster identically
+(``src/lambda_consumer.py:31-33``; BASELINE.md budget note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+from dask_lambda_example_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _ensure_loaded()
+    spark = get_spark("dask_lambda_example_spark-bench")
+
+    # Warm the JVM + parquet footers with the flagship once (not timed):
+    # per-session fixed cost, amortized across jobs exactly like the
+    # reference's long-running cluster.
+    QUERIES["flagship_groupby_mean_std"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # record failures, don't kill the run
+            times[name] = -1.0
+            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+        "failed": sorted(n for n, t in times.items() if t < 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of ``coiled/dask-lambda-example`` (reference at
+``/root/reference``), re-expressed Spark-first.
+
+The reference is an event-driven serverless Dask pipeline whose whole
+analytical payload is ``timeseries.groupby("name").mean().y.std()``
+(``layer/python/dask_processing.py:29-33``) plus the surrounding
+ingestion/lifecycle plumbing. This package maps that surface — and the
+full ``dask.dataframe`` capability tier it is a harness for (SURVEY.md
+§2) — onto the Spark DataFrame/SQL/Catalyst/Structured-Streaming stack:
+
+- ``session``   — UTC-pinned, AQE-enabled SparkSession factory
+- ``io``        — table loaders for the driver parquet tables
+- ``sources``   — synthetic timeseries + producer-shaped JSON ingestion
+- ``operators`` — relational / window / time-series / dedup / similarity
+                  / text-analysis operators, each registered as a named
+                  query with a DuckDB oracle
+- ``streaming`` — Structured Streaming pipelines (file source,
+  watermarks, windowed aggs, foreachBatch sinks)
+- ``functions`` — reusable column expressions (vector math, text stats)
+- ``plans``     — plan-inspection helpers (pushdown/broadcast asserts)
+
+Everything here derives from public knowledge only: the Apache Spark /
+PySpark API and the reference repo's observable behavior.
+"""
+
+from dask_lambda_example_spark.session import get_spark  # noqa: F401
+from dask_lambda_example_spark.registry import QUERIES, query  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,63 @@
+"""Table loaders / sinks over the driver-generated parquet tables.
+
+The reference's I/O surface is: hive-partitioned S3 JSON writes
+(``src/lambda_producer.py:22-27``), single-object JSON reads
+(``layer/python/dask_processing.py:17-18``), and the implied
+``dask.dataframe`` read/write family (SURVEY.md §2.B). Spark covers all
+of it natively; this module is a thin, schema-aware convenience layer.
+
+Scale posture: parquet scans get predicate pushdown, column pruning and
+partition pruning from Catalyst for free; loaders never infer JSON
+schemas (explicit ``StructType`` only — inference is a full extra pass
+at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one driver table (pushdown/pruning-eligible).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a long of
+    nanoseconds; convert to a microsecond timestamp with integer
+    truncation — exactly what DuckDB does reading the same file, so the
+    oracle comparison stays bit-identical.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_hive_partitioned_json(df: DataFrame, path: str,
+                                partition_cols: list[str],
+                                mode: str = "append") -> None:
+    """Reference A2/A3: JSON sink under ``key=value`` partition dirs
+    (``src/lambda_producer.py:22-27`` builds the same layout by hand).
+    Spark's ``partitionBy`` produces it natively and keeps the layout
+    partition-prunable for every later scan.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).json(path)

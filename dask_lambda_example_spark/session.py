@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference amortizes one long-running Dask cluster across all jobs
+(``src/lambda_consumer.py:31-33`` — connect-or-create via a
+SecretsManager "catalog"). The Spark-first analog is a single shared
+``SparkSession`` obtained through ``getOrCreate()``; per-query session
+cost is the #1 fixed overhead at any scale (BASELINE.md).
+
+Scale posture (100 TB): every knob here is chosen so the same code runs
+unchanged on a real cluster — AQE for runtime re-planning (coalesce +
+skew-join splitting), UTC session timezone (the reference uses naive UTC
+throughout, ``layer/python/dask_processing.py:29``), Arrow for any
+pandas exchange, and shuffle partitions sized to cores locally but
+expected to be overridden (or AQE-coalesced) on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "dask_lambda_example_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Return the shared SparkSession (create on first call).
+
+    Local mode for tests; on a real deployment the same builder picks up
+    ``--master``/Connect config from the environment, mirroring the
+    reference's connect-to-running-cluster decorator
+    (``src/lambda_consumer.py:15-44``).
+    """
+    n = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp —
+        # read as long and convert in io.load_table (ns → µs truncation,
+        # matching DuckDB's behavior on the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_REMOTE"):
+        # Local test/bench mode: single JVM, all memory to the driver.
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
