@@ -1,1 +1,275 @@
-"""Placeholder — filled in by milestone."""
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+Maps the dask ``groupby``/reduction surface — the family the reference's
+one computation belongs to (``layer/python/dask_processing.py:32``) —
+onto Spark's partial+final HashAggregate, plus the Spark-superset pieces
+(cube / rollup / grouping sets / pivot) the survey calls out.
+
+Scale posture: every groupBy here is a single hash-shuffle on the
+grouping key with map-side combine; distinct-aggregates add one expand;
+sketches (``approx_count_distinct``, ``percentile_approx``) replace
+exact shuffles with fixed-size mergeable state — the only viable form
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6)                                   AS sum_qty,
+           round(sum(l_extendedprice), 6)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key groupBy + 8 aggregates — the canonical
+    scan-heavy partial+final aggregation (headline bench query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                          AS n,
+           round(min(o_totalprice), 6)       AS min_total,
+           round(max(o_totalprice), 6)       AS max_total,
+           round(stddev_samp(o_totalprice), 6) AS sd_total,
+           round(var_samp(o_totalprice), 6)  AS var_total,
+           round(stddev_pop(o_totalprice), 6) AS sdp_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count/std/var per group — dask ``groupby().agg({col:
+    [fns]})``; sample-vs-population std made explicit (A7 pitfall)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 6).alias("min_total"),
+        F.round(F.max("o_totalprice"), 6).alias("max_total"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_total"),
+        F.round(F.var_samp("o_totalprice"), 6).alias("var_total"),
+        F.round(F.stddev_pop("o_totalprice"), 6).alias("sdp_total"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``nunique`` → exact countDistinct (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_sketches")  # approx algorithms differ per engine → rows-only
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``nunique_approx`` (HLL) / t-digest quantile → Spark HLL++
+    and GK sketches. Mergeable fixed-size state: the 100 TB answer to
+    distinct-count and quantile. Oracle omitted (sketch impls differ);
+    accuracy asserted in tests against exact values instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (dask ``quantile`` exact path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+
+
+@query(
+    "agg_global_reduction",
+    oracle="""
+    SELECT count(*)                         AS n,
+           round(sum(l_quantity), 6)        AS total_qty,
+           round(avg(l_extendedprice), 6)   AS mean_price,
+           round(stddev_samp(l_discount), 6) AS sd_disc,
+           min(l_shipdate)                  AS first_ship,
+           max(l_shipdate)                  AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table reductions (dask ``df.sum()/mean()/std()`` — the
+    reference's final ``.std()`` is this on one column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — Spark-superset over dask (SURVEY.md §2.B): all 2^k
+    grouping-set combinations in one pass via Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 6) AS sum_total, count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (superset over dask)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("sum_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale the value list MUST
+    be provided (otherwise Spark runs an extra distinct job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.round(F.col("F"), 6).alias("qty_f"),
+            F.round(F.col("O"), 6).alias("qty_o"),
+        )
+    )
+
+
+@query(
+    "agg_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def agg_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``drop_duplicates`` → dropDuplicates (hash-agg, no sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 6) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — dask boolean mask on agg result."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 6).alias("spend"))
+        .filter(F.col("n_orders") >= 5)
+    )

@@ -1,1 +1,298 @@
-"""Placeholder — filled in by milestone."""
+"""Join operators (SURVEY.md §2.B "Joins" — the dask ``merge`` family).
+
+Covers every join type dask can express (inner/left/right/full/cross,
+emulated semi/anti) plus Spark's richer native left_semi/left_anti, with
+the strategy choices spelled out per query.
+
+Scale posture — the join strategy IS the design at 100 TB:
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast: zero shuffle of the fact table, verified in tests via the
+  physical plan;
+- fact-fact equi-joins (lineitem⋈orders) shuffle both sides on the key
+  once — SortMergeJoin with AQE skew-split enabled (session.py);
+- theta joins are kept off fact tables (BroadcastNestedLoop only over
+  bounded dims) — an O(n²) join on a fact table is a design bug, not a
+  tuning problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "join_star_customer_geo",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           round(sum(c_acctbal), 6) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level star join, both dims broadcast: customer⋈nation⋈region
+    with no shuffle of the customer side at all."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 6).alias("sum_bal"))
+    )
+
+
+@query(
+    "join_left_with_nulls",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 6) AS total
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'P'
+    """,
+)
+def join_left_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause
+    — moving it to WHERE would change semantics; classic outer-join
+    pitfall)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "left")
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.round("o_totalprice", 6).alias("total"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM nation
+    RIGHT JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (dask ``merge(how="right")``)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "right")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, c_sum
+    FROM nation
+    FULL OUTER JOIN (
+        SELECT c_nationkey, round(sum(c_acctbal), 6) AS c_sum
+        FROM customer GROUP BY c_nationkey
+    ) agg ON agg.c_nationkey = n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — nations with no customers and (hypothetical)
+    customer nations missing from the dim both survive."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey").agg(F.round(F.sum("c_acctbal"), 6).alias("c_sum"))
+    return (
+        n.join(agg, agg.c_nationkey == n.n_nationkey, "full")
+        .select("n_nationkey", "n_name", "c_sum")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi: emits each left row at most once, never
+    widens — at scale this beats the dask inner-join+dedup emulation by
+    a full shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left_anti (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS r_a, r2.r_name AS r_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join over a bounded dim only (unordered region pairs).
+    Cartesian products never touch fact tables in this engine."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k_a"), F.col("r_name").alias("r_a"))
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k_b"), F.col("r_name").alias("r_b"))
+    return (
+        r1.crossJoin(r2).filter(F.col("k_a") < F.col("k_b"))
+        .select("r_a", "r_b")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p1.p_partkey AS pk_small, p2.p_partkey AS pk_big
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    WHERE p1.p_size <= 2
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (inequality) join made scale-safe by an equi-prefix: the
+    equality on brand turns BroadcastNestedLoop into a hash join with a
+    residual range filter — the binning pattern for range joins."""
+    p1 = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2).select(
+        F.col("p_partkey").alias("pk_small"), F.col("p_brand").alias("b1"),
+        F.col("p_size").alias("sz1"))
+    p2 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk_big"), F.col("p_brand").alias("b2"),
+        F.col("p_size").alias("sz2"))
+    return (
+        p1.join(p2, (F.col("b1") == F.col("b2")) & (F.col("sz1") < F.col("sz2")))
+        .select("pk_small", "pk_big")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dim filter → fact join → agg → top-k.
+    customer (filtered) broadcasts; lineitem⋈orders shuffles once on
+    orderkey; top-10 via TakeOrderedAndProject. Headline bench query."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table star with a co-nationality condition.
+    All dims broadcast; only lineitem⋈orders shuffles. Headline bench
+    query."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "join_broadcast_fact_dim",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 6) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 5
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with explicit broadcast — the lineitem side never
+    shuffles for the join (only the final small agg exchanges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 5)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_quantity"), 6).alias("qty"))
+    )

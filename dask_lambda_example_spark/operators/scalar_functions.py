@@ -1,1 +1,340 @@
-"""Placeholder — filled in by milestone."""
+"""Scalar function battery (SURVEY.md §2.B "Scalar functions").
+
+Covers the pandas-accessor surface dask defers to (``.str``, ``.dt``,
+numpy ufuncs, ``json.loads``-per-row, hashlib) with JVM-side
+``pyspark.sql.functions`` — zero Python in the row path. The reference's
+own scalar ops are tiny: ``json.loads(...)["count"]``
+(``layer/python/dask_processing.py:18``), ``key.replace("%3D", "=")``
+(``src/lambda_consumer.py:62``), ``hashlib.md5``
+(``src/lambda_consumer.py:134``) — all covered here by built-ins.
+
+Scale posture: every expression below stays inside whole-stage codegen;
+these are the fast path by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "fn_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                              AS name_lc,
+           upper(p_brand)                             AS brand_uc,
+           length(p_name)                             AS name_len,
+           substr(p_name, 1, 5)                       AS name_pre,
+           concat(p_brand, ':', p_type)               AS brand_type,
+           trim(p_name)                               AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')      AS size_pad,
+           replace(p_type, ' ', '_')                  AS type_us,
+           contains(p_name, 'red')                    AS has_red,
+           starts_with(p_type, 'STANDARD')            AS is_std,
+           split_part(p_type, ' ', 1)                 AS type_head
+    FROM part
+    """,
+)
+def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``.str.*`` accessor surface → Spark string built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.col("p_type").startswith("STANDARD").alias("is_std"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]+', 0)                  AS first_word,
+           regexp_replace(text, '\\s+', '_', 'g')             AS squashed,
+           regexp_matches(text, 'join|merge')                 AS mentions_join
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / global replace / match (dask ``.str.extract``/
+    ``.str.replace``/``.str.contains(regex)``)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("text", r"\s+", "_").alias("squashed"),
+        F.col("text").rlike("join|merge").alias("mentions_join"),
+    )
+
+
+@query(
+    "fn_datetime_battery",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                    AS y,
+           month(o_orderdate)                                   AS m,
+           day(o_orderdate)                                     AS d,
+           isodow(o_orderdate)                                  AS dow_iso,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)  AS month_start,
+           strftime(o_orderdate, '%Y-%m')                       AS ym,
+           o_orderdate + INTERVAL 90 DAY                        AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``.dt.*`` surface → Spark datetime built-ins. Spark
+    ``weekday`` is Mon=0 → ``+1`` aligns with ISO dow (explicit because
+    engines disagree on week-start; SURVEY.md §5 float/time discipline).
+    Interval arithmetic ≡ reference ``end - timedelta(days=count)``
+    (``layer/python/dask_processing.py:30``)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+    )
+
+
+@query(
+    "fn_math_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)           AS abs_d,
+           floor(l_quantity)                          AS qty_floor,
+           ceil(l_extendedprice / 1000)               AS price_k,
+           round(sqrt(l_quantity), 6)                 AS qty_sqrt,
+           round(exp(l_discount), 6)                  AS disc_exp,
+           round(ln(l_extendedprice), 6)              AS price_ln,
+           round(pow(l_tax + 1, 2), 6)                AS tax_sq,
+           round(l_extendedprice % 97, 6)             AS price_mod,
+           sign(l_discount - 0.05)                    AS disc_sign
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def fn_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-ufunc surface → JVM math built-ins (round(6) absorbs
+    last-ulp libm differences between JVM and C implementations)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.round(F.col("l_extendedprice") % 97, 6).alias("price_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'low' END                         AS bucket,
+           greatest(o_totalprice, 100000.0)            AS floor_100k,
+           least(o_totalprice, 100000.0)               AS cap_100k,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, greatest/least, coalesce/nullif (dask
+    ``mask``/``where``/``np.where``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low").alias("bucket"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_100k"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("cap_100k"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open"))
+        .alias("status_x"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing')           AS missing
+    FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row JSON field extraction — the reference's
+    ``json.loads(...)["count"]`` (``layer/python/dask_processing.py:18``)
+    as a vectorized expression, not Python."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@query(
+    "fn_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with an explicit schema (never inference at scale),
+    then struct-field access + predicate on the parsed value."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .select("event_id", F.col("p.k").alias("k"))
+    )
+
+
+@query(
+    "fn_hash_battery",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)            AS name_md5,
+           sha256(c_name)         AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5/sha256 — the reference fingerprints its software env with
+    md5 (``src/lambda_consumer.py:134``); same digest, column-at-a-time."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "fn_url_decode",
+    oracle="""
+    SELECT c_custkey,
+           replace(concat('data/key%3D', c_name), '%3D', '=') AS decoded
+    FROM customer
+    """,
+)
+def fn_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3-key un-escaping ``key.replace("%3D", "=")``
+    (``src/lambda_consumer.py:62``) as a vectorized expression."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.replace(F.concat(F.lit("data/key%3D"), F.col("c_name")),
+                  F.lit("%3D"), F.lit("=")).alias("decoded"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                               AS n_tokens,
+           list_contains(string_split(text, ' '), 'join')             AS has_join,
+           string_split(text, ' ')[1:3]                               AS first3,
+           list_transform(string_split(text, ' ')[1:3], x -> upper(x)) AS first3_uc,
+           list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS char_sum
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (Spark superset over dask's
+    object-dtype lists): transform / slice / contains / aggregate —
+    codegen-friendly, no UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("first3_uc"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0),
+                    lambda acc, x: acc + x).alias("char_sum"),
+    )
+
+
+@query(
+    "fn_explode_unnest",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding explode/unnest (dask ``.explode()``)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@query(
+    "fn_struct_access",
+    oracle="""
+    SELECT event_id, user_id AS uid, round(value, 6) AS val
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (dask dict-in-object columns
+    → typed StructType; fields project back to plain columns)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.struct(F.col("event_id").alias("id"), F.col("user_id").alias("uid"),
+                 F.col("value").alias("val")).alias("rec"))
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("rec.id").alias("event_id"),
+                F.col("rec.uid").alias("uid"),
+                F.round(F.col("rec.val"), 6).alias("val"))
+    )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT s_suppkey, levenshtein(s_name, 'Supplier#1') AS dist
+    FROM supplier
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (fuzzy-match primitive for text pipelines)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.levenshtein(F.col("s_name"), F.lit("Supplier#1")).alias("dist"),
+    )

@@ -1,1 +1,238 @@
-"""Placeholder — filled in by milestone."""
+"""Window / ordered-column operators (SURVEY.md §2.B "Window /
+ordered-column functions").
+
+dask expresses these as ``rolling``/``cumsum``/``shift`` over the
+sorted index or groupby-apply; Spark's Window frames cover the whole
+family natively and add the ranking functions dask lacks.
+
+Scale posture: each window spec costs one hash-shuffle on its partition
+key + an in-partition sort. Every query here partitions on a real key
+(never a global ORDER BY over the fact table — an unpartitioned window
+is a single-task bottleneck at scale). Order keys always carry a unique
+tiebreaker so results are deterministic for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "win_row_number_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS total, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — THE scalable top-k-per-group pattern
+    (shuffle on the group key, per-partition sort, early filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 6).alias("total"), "rn")
+    )
+
+
+@query(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER (PARTITION BY l_returnflag
+                               ORDER BY l_orderkey, l_linenumber, l_partkey,
+                                        l_suppkey, l_quantity, l_extendedprice)
+                         AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family on a tie-heavy key (rank vs dense_rank vs ntile
+    vs percent_rank/cume_dist) — Spark superset over dask."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — ntile
+    # assigns by position, so its ordering must be a total order or
+    # boundary rows land in different buckets nondeterministically.
+    wu = W.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wu).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead_diff",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 6)                                                AS v,
+           round(value - lag(value)  OVER w, 6)                           AS dv,
+           round(lead(value) OVER w, 6)                                   AS next_v,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)               AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``shift``/``diff`` → lag/lead (+ inter-event gap seconds —
+    the timeseries idiom the reference's 1 s-freq data implies)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.round("value", 6).alias("v"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("dv"),
+        F.round(F.lead("value").over(w), 6).alias("next_v"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .alias("gap_s"),
+    )
+
+
+@query(
+    "win_cumulative",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 6) AS running_sum,
+           round(max(value) OVER w, 6) AS running_max,
+           count(*)         OVER w     AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``cumsum``/``cummax`` → unbounded-preceding row frames."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_sum"),
+        F.round(F.max("value").over(w), 6).alias("running_max"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_rolling_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER w, 6) AS roll_avg3,
+           round(sum(value) OVER w, 6) AS roll_sum3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``rolling(3).mean()`` → 2-preceding row frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg3"),
+        F.round(F.sum("value").over(w), 6).alias("roll_sum3"),
+    )
+
+
+@query(
+    "win_rolling_time_range",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER w, 6) AS roll_avg_1h,
+           count(*)         OVER w     AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``rolling("1h")`` → RANGE frame over epoch seconds (numeric
+    range frames keep Spark and the oracle in exact agreement; both
+    sides floor to whole seconds — DuckDB ``epoch`` keeps fractions)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ep", F.unix_timestamp("ts"))
+    w = (W.partitionBy("user_id").orderBy("ep")
+         .rangeBetween(-3600, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS last_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit full frames (the default
+    running frame on last_value is the classic silent-wrong-answer)."""
+    o = load_table(spark, sf_dir, "orders")
+    run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(run).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+
+
+@query(
+    "win_share_of_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / sum(l_extendedprice)
+                 OVER (PARTITION BY l_orderkey), 6) AS price_share
+    FROM lineitem
+    """,
+)
+def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-group-total — unordered partition window (no sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6)
+        .alias("price_share"),
+    )
