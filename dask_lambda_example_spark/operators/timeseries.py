@@ -1,1 +1,270 @@
-"""Placeholder — filled in by milestone."""
+"""Time-series operators (SURVEY.md §2.B "Window" resample rows + §2.3
+M2): resample/time-bucketing, tumbling/sliding/session windows, as-of
+joins, gap detection — the operator family the reference's 1 s-frequency
+DatetimeIndex data implies (``layer/python/dask_processing.py:29-31``).
+
+Scale posture: every bucketing op is a plain hash-aggregate on a derived
+bucket column (one shuffle, partial+final); the as-of join is the
+union+running-last composition — one shuffle on the join key, one
+in-partition sort, NO per-row lookups or pandas fallback — the only
+as-of formulation that survives 100 TB fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "ts_resample_1h",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           count(*) AS n, round(avg(value), 6) AS mean_v,
+           round(sum(value), 6) AS sum_v
+    FROM events GROUP BY 1
+    """,
+)
+def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``resample("1h").agg(...)`` → date_trunc + hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 6).alias("mean_v"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+    )
+
+
+@query(
+    "ts_tumbling_window_1d",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)                    AS w_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY   AS w_end,
+           event_type,
+           count(*) AS n, round(avg(value), 6) AS mean_v
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def ts_tumbling_window_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window via ``F.window`` — identical semantics batch and
+    streaming (the streaming pipeline reuses this shape)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 6).alias("mean_v"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n", "mean_v")
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle="""
+    SELECT bucket AS w_start, count(*) AS n, round(sum(value), 6) AS sum_v
+    FROM (
+        SELECT unnest([
+            CAST(date_trunc('hour', ts) AS TIMESTAMP),
+            CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR
+        ]) AS bucket, value
+        FROM events
+    ) GROUP BY bucket
+    """,
+)
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h window, 1 h slide): each row lands in 2
+    overlapping windows — Spark expands via ``F.window``; oracle
+    reproduces the expansion with unnest."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_v")
+    )
+
+
+@query(
+    "ts_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                                AS s_start,
+           max(ts) + INTERVAL 30 MINUTE           AS s_end,
+           count(*)                               AS n,
+           round(sum(value), 6)                   AS sum_v
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30 min inactivity gap — native
+    ``session_window`` (batch mode; same call works under
+    ``readStream``). Oracle derives sessions via the lag-gap-cumsum
+    idiom, which is also the portable fallback. Session end = last
+    event + gap (Spark's definition)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+        .select("user_id", F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"), "n", "sum_v")
+    )
+
+
+def asof_join_backward(events: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str,
+                       left_ts: str, right_ts: str,
+                       payload_cols: list[str]) -> DataFrame:
+    """Reusable backward as-of join (dask ``merge_asof``, SURVEY.md
+    §4.3-1): for each left row, the most recent right row with
+    ``right_ts <= left_ts`` per key.
+
+    Composition, not a per-group pandas fallback: union both sides on
+    (key, t), one window ``last(..., ignorenulls=True)`` per payload
+    column over a running frame, then keep left rows. Cost = one
+    shuffle on the key + one in-partition sort — same complexity as a
+    sort-merge join, valid at any scale. Right rows sort before left
+    rows at equal timestamps (side=0 < 1) so exact-timestamp matches
+    are taken, matching merge_asof/ASOF JOIN semantics.
+    """
+    left_tagged = events.select(
+        F.col(left_key).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+               for c in payload_cols])
+    right_tagged = right.select(
+        F.col(right_key).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c)
+          for c in events.columns],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols])
+    unioned = left_tagged.unionByName(right_tagged)
+    w = (W.partitionBy("__k").orderBy("__t", "__side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        "*", *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+               for c in payload_cols])
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(*events.columns,
+                *[F.col(f"__m_{c}").alias(c) for c in payload_cols])
+    )
+
+
+@query(
+    "ts_asof_join_backward",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM events
+    ASOF LEFT JOIN orders
+      ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+    """,
+)
+def ts_asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: latest order per user at each event time.
+    Oracle = DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    return asof_join_backward(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_orderdate"],
+    )
+
+
+@query(
+    "ts_asof_join_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts - o_orderdate <= INTERVAL 365 DAY
+                THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ts - o_orderdate <= INTERVAL 365 DAY
+                THEN round(o_totalprice, 6) END AS total
+    FROM events
+    ASOF LEFT JOIN orders
+      ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+    """,
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with tolerance (``merge_asof(tolerance=...)``): the single
+    backward candidate is kept only if within 365 days."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "total", F.round("o_totalprice", 6))
+    joined = asof_join_backward(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_orderdate", "total"],
+    )
+    within = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 365 DAYS")
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.when(within, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(within, F.col("total")).alias("total"),
+    )
+
+
+@query(
+    "ts_gap_detection",
+    oracle="""
+    SELECT user_id, ts, gap_s FROM (
+        SELECT user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                        AS BIGINT) AS gap_s
+        FROM events
+    ) WHERE gap_s > 3600
+    """,
+)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find gaps > 1 h per key — the monitoring dual of sessionization."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    return (
+        e.select(
+            "user_id", "ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .alias("gap_s"))
+        .filter(F.col("gap_s") > 3600)
+    )
+
+
+@query(
+    "ts_ohlc_downsample",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(arg_min(value, ts), 6) AS open_v,
+           round(max(value), 6)         AS high_v,
+           round(min(value), 6)         AS low_v,
+           round(arg_max(value, ts), 6) AS close_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample — argmin/argmax by time per bucket (min_by /
+    max_by; (user_id, ts) is unique so the argmax is well-defined)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.min_by("value", "ts"), 6).alias("open_v"),
+             F.round(F.max("value"), 6).alias("high_v"),
+             F.round(F.min("value"), 6).alias("low_v"),
+             F.round(F.max_by("value", "ts"), 6).alias("close_v"))
+    )

@@ -1,1 +1,191 @@
-"""Placeholder."""
+"""Structured Streaming pipelines (SURVEY.md §2.B "Streaming", §3.4).
+
+The reference's streaming is architectural: S3 OBJECT_CREATED events
+trigger a consumer Lambda per file (``app.py:174-175``), i.e. a
+micro-batch file stream at one-minute cadence (``app.py:131-134``).
+Spark-first mapping: ``readStream`` file source discovers new files;
+``Trigger.AvailableNow`` gives the Lambda-style episodic run (process
+everything present, then stop); watermarks bound late data; memory /
+foreachBatch sinks close the loop.
+
+Batch-equivalence is the correctness strategy (SURVEY.md §5.2-6): every
+streaming query here runs in COMPLETE or deduplicating mode over a
+static directory, so its result equals the batch computation the DuckDB
+oracle runs.
+
+Scale posture: file-source state (seen-files log) and agg state live in
+the checkpoint; watermark + windowed agg keeps state bounded; the
+foreachBatch sink pattern is the idempotent-write answer for "write to
+S3, Redshift, etc" (``layer/python/dask_processing.py:26-27``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.registry import query
+
+_COUNTER = {"n": 0}
+
+
+def _mem_table(prefix: str) -> str:
+    _COUNTER["n"] += 1
+    return f"{prefix}_{_COUNTER['n']}"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table via the file source (the
+    S3-event-trigger analog, A19). Schema is pinned from the parquet
+    footer (no inference mid-stream); the raw ns-long ts converts the
+    same way as ``io.load_table``."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_available_now(df: DataFrame, table: str,
+                      output_mode: str = "complete") -> None:
+    """Lambda-style episodic execution (A19/A20): process all files
+    currently present, then stop — ``Trigger.AvailableNow`` with a
+    throwaway checkpoint, memory sink for the result."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(table)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+           event_type, count(*) AS n, round(sum(value), 6) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation == its batch equivalent
+    over a static input (complete mode: all windows emitted)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+    )
+    table = _mem_table("stream_tumbling")
+    run_available_now(agg, table)
+    return spark.table(table)
+
+
+@query(
+    "stream_watermark_late_data",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly windows. With a static input processed in one
+    AvailableNow run, nothing is later than the watermark when it
+    advances, so complete-mode output equals batch — the watermark
+    machinery (state eviction at scale) is still exercised."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    table = _mem_table("stream_watermark")
+    run_available_now(agg, table)
+    return spark.table(table)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+        SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        ORDER BY event_id
+    ) GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on the event key, then aggregate —
+    chained stateful operators (Spark ≥3.4). event_id is unique in the
+    data so dedup is a no-op semantically; the oracle mirrors with
+    DISTINCT ON."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    table = _mem_table("stream_dedup")
+    run_available_now(deduped, table)
+    return spark.table(table)
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT bucket AS w_start, round(avg(value), 6) AS mean_v
+    FROM (
+        SELECT unnest([
+            CAST(date_trunc('hour', ts) AS TIMESTAMP),
+            CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
+            CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 2 HOUR
+        ]) AS bucket, value
+        FROM events
+    ) GROUP BY bucket
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (3 h window / 1 h slide)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("mean_v"))
+        .select(F.col("w.start").alias("w_start"), "mean_v")
+    )
+    table = _mem_table("stream_sliding")
+    run_available_now(agg, table)
+    return spark.table(table)
+
+
+def foreach_batch_to_parquet(spark: SparkSession, sf_dir: str,
+                             out_dir: str) -> int:
+    """The "write to S3, Redshift, etc" sink intent of the reference
+    (``layer/python/dask_processing.py:26-27``): idempotent micro-batch
+    writes via foreachBatch (dedup on batch_id gives exactly-once over
+    the at-least-once stream). Returns rows written; used by tests."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
+    q = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()

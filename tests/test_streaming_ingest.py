@@ -1,0 +1,69 @@
+"""Streaming + ingestion tests (SURVEY.md §5.2-6): producer-layout
+round-trip and foreachBatch sink — the reference pipeline shape
+(producer → S3 layout → event-triggered consumer) end to end."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.sources.producer import (
+    producer_payloads,
+    read_producer_layout,
+    write_producer_layout,
+)
+from dask_lambda_example_spark.streaming.pipeline import (
+    events_stream,
+    foreach_batch_to_parquet,
+)
+
+
+def test_producer_layout_roundtrip(spark):
+    """A2/A3: hive-partitioned JSON write → partition-discovering read;
+    counts survive and stay in the reference's [10, 1000] domain."""
+    path = tempfile.mkdtemp(prefix="producer_")
+    write_producer_layout(spark, path, n_files=30)
+    back = read_producer_layout(spark, path)
+    expected = producer_payloads(spark, 30).select("count")
+    assert back.count() == 30
+    assert sorted(r["count"] for r in back.select("count").collect()) == \
+        sorted(r["count"] for r in expected.collect())
+    lo, hi = back.agg(F.min("count"), F.max("count")).first()
+    assert 10 <= lo and hi <= 1000
+
+
+def test_producer_partition_pruning(spark):
+    """The six-level key=value layout must partition-prune: a filter on
+    the partition columns reads only matching directories."""
+    path = tempfile.mkdtemp(prefix="producer_")
+    write_producer_layout(spark, path, n_files=30)
+    df = spark.read.option("basePath", path).json(
+        f"{path}/year=*/month=*/day=*/hour=*/minute=*/second=*")
+    pruned = df.filter(F.col("minute") < 10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == 10
+
+
+def test_streaming_file_source_matches_batch(spark, sf_dir):
+    """A19: the file-source stream over the events table sees exactly
+    the batch rows (episodic AvailableNow ≙ one Lambda invocation)."""
+    from dask_lambda_example_spark.streaming.pipeline import run_available_now
+
+    total = (events_stream(spark, sf_dir)
+             .groupBy().agg(F.count("*").alias("n"), F.sum("event_id").alias("s")))
+    run_available_now(total, "t_stream_total")
+    got = spark.table("t_stream_total").first()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got["n"] == batch.count()
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch parquet sink writes the aggregated micro-batch."""
+    out = tempfile.mkdtemp(prefix="fb_out_") + "/data"
+    n = foreach_batch_to_parquet(spark, sf_dir, out)
+    assert n == 5  # one row per event_type
+    back = spark.read.parquet(out)
+    assert {r["event_type"] for r in back.collect()} == {
+        "click", "error", "purchase", "signup", "view"}
