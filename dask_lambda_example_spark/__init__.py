@@ -24,7 +24,20 @@ Everything here derives from public knowledge only: the Apache Spark /
 PySpark API and the reference repo's observable behavior.
 """
 
-from dask_lambda_example_spark.session import get_spark  # noqa: F401
+import os as _os
+from pathlib import Path as _Path
+
+# Spark's Python workers are separate processes: anything cloudpickled
+# by reference (module-level fns used in mapInPandas/pandas_udf) must be
+# importable there. Exporting PYTHONPATH before the JVM launches makes
+# the package importable on every local worker regardless of the
+# driver's cwd (the driver contract runs from a neutral cwd).
+_repo_root = str(_Path(__file__).resolve().parents[1])
+_pp = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = _repo_root + (_os.pathsep + _pp if _pp else "")
+
+from dask_lambda_example_spark.session import get_spark  # noqa: E402,F401
 from dask_lambda_example_spark.registry import QUERIES, query  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,1 +1,169 @@
-"""Placeholder — filled in by milestone."""
+"""Multimodal columns (SURVEY.md §2.C): image/audio/video as opaque
+``binary`` columns with typed metadata, decode/feature-extract as
+Arrow-batched UDFs.
+
+Spark-side design (all real and tested):
+- column convention: ``struct<uri: string, mime: string, bytes: binary,
+  meta: map<string,string>>`` — mirrors Spark's ``binaryFile`` source
+  (path/length/content) plus a mime tag;
+- plumbing: construction, projection, byte-level stats and content
+  hashing run as JVM expressions; feature extraction runs as
+  ``mapInPandas`` over the binary column (batch shape: one pandas
+  DataFrame of N binary cells per Arrow batch).
+
+The actual image/audio decode is STUBBED (`decode_image_stub`) — the
+codec libraries are not in this container; the stub raises
+``NotImplementedError`` unless given the deterministic fake header it
+documents. The Spark plumbing around it (schema, partitioning, UDF
+signature, batch shape) is the real deliverable and is oracle-checked.
+
+Scale posture: binary payloads never shuffle here — metadata extraction
+is projection-only; at 100 TB the rule is: push bytes through
+mapInPandas once, aggregate only the extracted features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+MEDIA_SCHEMA = "struct<uri:string, mime:string, bytes:binary, meta:map<string,string>>"
+
+
+def with_media_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap each document's UTF-8 bytes as a media struct — the column
+    convention every multimodal op consumes. (Real pipelines fill
+    ``bytes`` from the ``binaryFile`` source; the convention is
+    identical.)"""
+    return df.withColumn("media", F.struct(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("uri"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("bytes"),
+        F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source")).alias("meta"),
+    ))
+
+
+@query(
+    "mm_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           'mem://doc/' || doc_id    AS uri,
+           'text/plain'              AS mime,
+           strlen(text)              AS n_bytes,
+           md5(text)                 AS content_md5,
+           lang                      AS meta_lang
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/byte-level ops on the media struct, all JVM-side:
+    length and content-hash of the binary payload + map access.
+    (ASCII text here, so strlen == octet length in the oracle.)"""
+    d = with_media_column(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        F.col("media.mime").alias("mime"),
+        F.octet_length(F.col("media.bytes")).alias("n_bytes"),
+        F.md5(F.col("media.bytes")).alias("content_md5"),
+        F.col("media.meta")["lang"].alias("meta_lang"),
+    )
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)                                    AS n_bytes,
+           ascii(substr(text, 1, 1))                       AS first_byte,
+           CAST(('0x' || substr(md5(text), 1, 4)) AS INT)  AS digest16
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary media — the decode
+    pipeline shape (binary in → typed features out) with a
+    deterministic extractor the oracle can recompute."""
+    # Nested so cloudpickle ships it by value — workers need no import
+    # of this package (the driver contract runs from a neutral cwd).
+    def feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        for pdf in batches:
+            raws = pdf["bytes"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": raws.map(len),
+                "first_byte": raws.map(lambda b: b[0] if len(b) else None),
+                "digest16": raws.map(
+                    lambda b: int(_hashlib.md5(b).hexdigest()[:4], 16)),
+            })
+
+    d = with_media_column(load_table(spark, sf_dir, "documents"))
+    payload = d.select("doc_id", F.col("media.bytes").alias("bytes"))
+    return payload.mapInPandas(
+        feature_extract,
+        schema="doc_id long, n_bytes long, first_byte int, digest16 int")
+
+
+FAKE_IMAGE_MAGIC = b"FAKEIMG1"
+
+
+def decode_image_stub(raw: bytes) -> tuple[int, int]:
+    """STUB decoder (no codec libs in this container): understands only
+    the deterministic fake header ``FAKEIMG1<w:2><h:2>`` and returns
+    (width, height); anything else raises NotImplementedError — the
+    marked seam where a real PIL/ffmpeg decoder plugs in."""
+    if raw[:8] == FAKE_IMAGE_MAGIC and len(raw) >= 12:
+        return (int.from_bytes(raw[8:10], "big"),
+                int.from_bytes(raw[10:12], "big"))
+    raise NotImplementedError(
+        "real image decoding requires codec libraries absent from this "
+        "environment; only the FAKEIMG1 test header is supported")
+
+
+@query("mm_decode_fake_images")  # stubbed decoder → rows-only check
+def mm_decode_fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline over synthetic FAKEIMG1 payloads: build binary
+    'images' (width/height derived from doc_id), decode via the stub in
+    mapInPandas, return dimensions. Exercises the full binary→decode→
+    features path with the real batch shape."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def be2(c):  # two-byte big-endian encoding of an int column
+        return F.concat(F.expr(f"char(int(({c}) div 256))").cast("binary"),
+                        F.expr(f"char(int(({c}) % 256))").cast("binary"))
+
+    imgs = (
+        d.withColumn("w", (F.col("doc_id") % 64 + 1).cast("int"))
+        .withColumn("h", (F.col("doc_id") % 48 + 1).cast("int"))
+        .select("doc_id",
+                F.concat(F.lit(FAKE_IMAGE_MAGIC), be2("w"), be2("h"))
+                .alias("bytes"))
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained re-statement of decode_image_stub: nested fns
+        # ship by value, module-level fns would need a worker-side import.
+        def stub(raw: bytes) -> tuple[int, int]:
+            if bytes(raw[:8]) == b"FAKEIMG1" and len(raw) >= 12:
+                return (int.from_bytes(raw[8:10], "big"),
+                        int.from_bytes(raw[10:12], "big"))
+            raise NotImplementedError("only the FAKEIMG1 test header is supported")
+
+        for pdf in batches:
+            dims = pdf["bytes"].map(stub)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": dims.map(lambda t: t[0]),
+                "height": dims.map(lambda t: t[1]),
+            })
+
+    return imgs.mapInPandas(decode, schema="doc_id long, width int, height int")

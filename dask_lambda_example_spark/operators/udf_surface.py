@@ -1,1 +1,156 @@
-"""Placeholder — filled in by milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B "UDF / UDAF / UDTF").
+
+The dask side is ``map_partitions`` / elementwise ``apply`` /
+``groupby().apply`` / custom ``dd.Aggregation`` — and the reference's
+``client.submit(arbitrary_python)`` idiom (``src/lambda_consumer.py:68``)
+which this engine deliberately replaces with declarative programs plus
+these four Arrow-vectorized escape hatches (never row-at-a-time Python):
+
+- ``pandas_udf``           — elementwise, Series→Series
+- ``applyInPandas``        — per-group pandas DataFrame in/out
+- ``pandas_udf GROUPED_AGG`` — custom aggregation
+- ``mapInPandas``          — per-partition batch iterator
+
+Every query here computes something ALSO expressible in SQL so the
+DuckDB oracle can check the UDF machinery itself (Arrow round-trip,
+grouping, batch iteration) — the point is verifying the plumbing, not
+the arithmetic.
+
+Scale posture: all four exchange columnar Arrow batches with the JVM
+(~10-100× over pickled rows); applyInPandas shuffles once on the group
+key; mapInPandas streams batches with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, round(value * 2.0 + 1.0, 6) AS scaled
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise pandas_udf (dask ``Series.apply`` analog), Arrow
+    batch transfer both ways."""
+
+    @F.pandas_udf("double")
+    def scale(s: pd.Series) -> pd.Series:
+        return s * 2.0 + 1.0
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "view")
+        .select("event_id", F.round(scale(F.col("value")), 6).alias("scaled"))
+    )
+
+
+@query(
+    "udf_apply_in_pandas_zscore",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def udf_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (dask
+    ``groupby().apply``): whole group as a pandas frame in, frame out.
+    Oracle expresses the same z-score with window functions."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf["z"] = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pdf[["user_id", "event_id", "z"]]
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, z double")
+
+
+@query(
+    "udf_grouped_agg_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                 / sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                 AS wmean
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via GROUPED_AGG pandas_udf (dask ``dd.Aggregation``):
+    weight each value by the JSON ``k`` field."""
+
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(wmean(F.col("value"), k), 6).alias("wmean"))
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition batch iterator (dask ``map_partitions``): filter +
+    derive inside pandas, streaming one Arrow batch at a time — the
+    custom-operator escape hatch (file-at-a-time semantics of the
+    reference's ``client.submit`` jobs, distributed properly)."""
+
+    def charge_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] >= 30]
+            yield pd.DataFrame({
+                "l_orderkey": out["l_orderkey"],
+                "l_linenumber": out["l_linenumber"],
+                "charge": (out["l_extendedprice"] * (1 - out["l_discount"])
+                           * (1 + out["l_tax"])).round(6),
+            })
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.mapInPandas(
+        charge_op, schema="l_orderkey long, l_linenumber int, charge double")
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    SELECT o_orderkey, unnest(['status:' || o_orderstatus,
+                               'priority:' || o_orderpriority]) AS tag
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding transform (UDTF-shaped, SURVEY.md §2.B): one order
+    row → one row per derived tag. Expressed Spark-first as explode over
+    an array expression (codegen, no Python) — the UDTF surface with the
+    fast path; ``@udtf`` exists for cases needing arbitrary Python."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    tags = F.array(
+        F.concat(F.lit("status:"), F.col("o_orderstatus")),
+        F.concat(F.lit("priority:"), F.col("o_orderpriority")),
+    )
+    return o.select("o_orderkey", F.explode(tags).alias("tag"))
