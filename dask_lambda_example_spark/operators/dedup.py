@@ -1,1 +1,406 @@
-"""Placeholder — filled in by milestone."""
+"""Deduplication operators (SURVEY.md §2.C) over the ``documents``
+table: exact (hash-groupBy), normalized-exact, n-gram Jaccard,
+MinHash+LSH band join, SimHash, and embedding-cosine near-dup.
+
+The reference has no dedup code — this is the north-star extension tier
+(BASELINE.json ``north_star``); the harness anchor is the reference's
+"arbitrary dask dataframe computation" contract
+(``layer/python/dask_processing.py:26-27``, README.md:15-16).
+
+Design notes (100 TB posture):
+
+- Every op is shuffle-bounded: exact dedup is one hash shuffle on the
+  content hash; Jaccard/MinHash never do O(n²) — candidates come from an
+  inverted-index join (token → docs) or an LSH band join (band value →
+  docs), both ordinary equi-joins Catalyst executes as shuffled hash
+  joins, then only the candidate pairs are exactly verified.
+- The MinHash signatures use seeded md5-derived 32-bit hashes, NOT
+  Spark-specific xxhash64, so the DuckDB oracle can run the *identical*
+  pipeline: both sides agree bit-for-bit including any LSH false
+  negatives — the full probabilistic path is oracle-gated, not
+  rows-only.
+- Tokenization is a plain single-space split everywhere (documents.text
+  is space-separated word soup), keeping Spark/DuckDB parity trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def hex32(col):
+    """First 8 md5 hex digits as a non-negative 32-bit int (Spark side).
+
+    Deterministic, dialect-portable (DuckDB: ``CAST('0x'||substr(md5(x),
+    1,8) AS BIGINT)``) — the hash primitive for MinHash/SimHash below.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+HEX32_SQL = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) with per-doc distinct tokens — the shingle set
+    (1-gram). An inverted index in relational form."""
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+
+
+TOKENS_SQL = """
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT doc_id, content_hash FROM (
+        SELECT doc_id, md5(text) AS content_hash,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the full text, keep the lowest doc_id per hash.
+
+    One shuffle on the 128-bit content hash; at 100 TB the hash (16 B)
+    shuffles, never the document bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS norm_hash
+          FROM documents)
+    GROUP BY norm_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase + whitespace-collapse before
+    hashing, report group size and the survivor. The groupBy form —
+    partial aggregation makes the shuffle carry one row per distinct
+    hash per map partition."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.withColumn("norm_hash", F.md5(norm))
+        .groupBy("norm_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index join, exact)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS ({TOKENS_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs via an
+    inverted-index self-join — |A∩B| from a token equi-join, sizes from
+    a per-doc count, Jaccard = c/(|A|+|B|-c).
+
+    Scale: the token join shuffles on token (inverted index), never
+    forming the O(n²) cross product; hot tokens (stopword-like) are the
+    skew risk — AQE skew-join handles moderate skew, and the MinHash
+    variant below is the designed escape for true web scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(d)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH band join (deterministic, oracle-replicated)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 8  # r = 2 rows/band: P(candidate) = 1-(1-j^2)^8, steep near j≈0.9
+
+
+def _minhash_oracle() -> str:
+    """The full MinHash→LSH→verify pipeline in DuckDB SQL — textually
+    generated so it provably uses the same seeds/bands as the Spark
+    side."""
+    mh_cols = ", ".join(
+        "min({h}) AS mh{i}".format(
+            h=HEX32_SQL.format(x="token || '#{}'".format(i)), i=i)
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat(mh{2 * b}, '|', mh{2 * b + 1}) AS band_val FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS ({TOKENS_SQL}),
+    sig AS (SELECT doc_id, {mh_cols} FROM tok GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ct
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           round(ct * 1.0 / (sa.sz + sb.sz - ct), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ct * 1.0 / (sa.sz + sb.sz - ct) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 16 seeded-md5 minhashes per doc → 8 bands
+    of 2 → band-value equi-join for candidates → exact Jaccard verify.
+
+    This is the web-scale dedup shape: signature build is one shuffle
+    (groupBy doc), the band join shuffles 8 small (doc_id, band_val)
+    rows per doc instead of every token, and exact verification touches
+    only candidate pairs. The DuckDB oracle runs the *same deterministic
+    pipeline* (same seeds, same banding), so agreement is bit-exact —
+    including LSH's false negatives — rather than probabilistic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(d)
+
+    # signature: one aggregation pass, 16 mins computed together
+    sig = tok.groupBy("doc_id").agg(*[
+        F.min(hex32(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ])
+
+    # bands: (doc_id, band_id, band_val) — 8 rows per doc
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(F.col(f"mh{2 * b}").cast("string"), F.lit("|"),
+                     F.col(f"mh{2 * b + 1}").cast("string")).alias("band_val"),
+        )
+        for b in range(N_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band_id").alias("band_id"),
+        F.col("bs.band_val").alias("band_val"))
+
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_val") == F.col("y.band_val"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, (F.col("tb.doc_id") == F.col("doc_b"))
+              & (F.col("tb.token") == F.col("ta.token")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ct"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("ct") / (F.col("sa.sz") + F.col("sb.sz") - F.col("ct"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, deterministic)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    tokhash = HEX32_SQL.format(x="token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS ({TOKENS_SQL}),
+    th AS (SELECT doc_id, {tokhash} AS th FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each distinct token votes ±1 on
+    every bit of its 32-bit hash; the sign of each bit-sum becomes the
+    fingerprint bit. Near-dups then cluster by small Hamming distance
+    (join on fingerprint bytes at scale).
+
+    One explode + one groupBy — the 32 bit-sums are computed in a single
+    aggregation pass (partial map-side combine keeps the shuffle at one
+    34-column row per doc per partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    th = tokens(d).withColumn("th", hex32(F.col("token")))
+    bits = th.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (sign-LSH blocked, deterministic)
+# ---------------------------------------------------------------------------
+
+COSINE_NEARDUP_THRESHOLD = 0.25
+SIGN_BITS = 6  # block on the sign pattern of the first 6 dims (64 buckets)
+
+
+def _cosine_sql(ea: str, eb: str) -> str:
+    return (f"list_dot_product({ea}, {eb}) / "
+            f"(sqrt(list_dot_product({ea}, {ea})) * "
+            f"sqrt(list_dot_product({eb}, {eb})))")
+
+
+def _embedding_neardup_oracle() -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(SIGN_BITS)
+    )
+    cos = _cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {COSINE_NEARDUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_neardup", oracle=_embedding_neardup_oracle())
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-LSH blocked: vectors are
+    bucketed by the sign pattern of their first 6 dimensions (an
+    axis-aligned random-hyperplane LSH) and only same-bucket pairs are
+    scored — an equi-join, never O(n²). Cosine is an in-order double
+    fold (``F.aggregate``), matching DuckDB's ``list_dot_product``
+    bit-for-bit. The oracle replicates the identical blocking, so LSH
+    recall loss is part of the checked contract.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(*[
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(SIGN_BITS)
+    ])
+    ed = e.select(
+        "vec_id", bucket.alias("bucket"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: p * q),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    a = ed.alias("a")
+    b = ed.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(dot(F.col("b.emb"), F.col("b.emb"))))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= COSINE_NEARDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cos"))
+    )

@@ -1,1 +1,306 @@
-"""Placeholder — filled in by milestone."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.C):
+vector math battery, exact brute-force cosine top-k, threshold
+similarity join, sign-LSH bucketed ANN, and an MLlib
+BucketedRandomProjectionLSH variant.
+
+North-star extension tier (BASELINE.json ``north_star``); the reference
+itself has no vector ops — the anchor is its arbitrary-dataframe-compute
+contract (``layer/python/dask_processing.py:26-27``).
+
+Design notes (100 TB posture):
+
+- Cosine/dot are JVM-side higher-order-function expressions
+  (``zip_with`` + in-order ``aggregate`` fold over doubles) — whole-stage
+  codegen, no Python, and bit-identical to DuckDB's sequential
+  ``list_dot_product``, which is what makes value-hash parity possible.
+- Brute-force top-k broadcasts the (small) probe side; the corpus side
+  streams — no shuffle of the corpus. That is the right plan shape at
+  any corpus size as long as the probe set fits in memory.
+- The ANN variant prunes by an LSH bucket equi-join (axis-sign
+  hyperplanes) so candidate generation is shuffle-bounded; the oracle
+  replicates the identical bucketing, so recall loss is part of the
+  checked contract, not hand-waved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# vector expression toolkit (JVM HOFs, no UDFs)
+# ---------------------------------------------------------------------------
+
+
+def as_double(vec) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(u: Column, v: Column) -> Column:
+    """In-order left fold — same summation order as DuckDB's
+    ``list_dot_product`` (doubles are order-sensitive)."""
+    return F.aggregate(F.zip_with(u, v, lambda p, q: p * q),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(u: Column) -> Column:
+    return F.sqrt(dot(u, u))
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / (l2norm(u) * l2norm(v))
+
+
+def l2dist(u: Column, v: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+DOT_SQL = "list_dot_product({a}, {b})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
+
+
+# ---------------------------------------------------------------------------
+# function battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_vector_math",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id,
+           round(list_dot_product(a.emb, b.emb), 6) AS dot_ab,
+           round(sqrt(list_dot_product(a.emb, a.emb)), 6) AS norm_a,
+           round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))), 6)
+               AS l2_ab,
+           round({cos}, 6) AS cos_ab
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """.format(cos=_cos_sql("a.emb", "b.emb")),
+)
+def sim_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math battery (dot, L2 norm, L2 distance, cosine) over
+    consecutive-id pairs — all codegen'd HOF expressions."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    ea, eb = F.col("a.emb"), F.col("b.emb")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(dot(ea, eb), 6).alias("dot_ab"),
+            F.round(l2norm(ea), 6).alias("norm_a"),
+            F.round(l2dist(ea, eb), 6).alias("l2_ab"),
+            F.round(cosine(ea, eb), 6).alias("cos_ab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+TOP_K = 5
+PROBE_MOD = 25  # vec_id % 25 == 0 → small probe set
+
+
+@query(
+    "sim_cosine_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos} AS cos
+        FROM e q JOIN e c ON q.vec_id % {mod} = 0 AND c.vec_id <> q.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {k}
+    """.format(cos=_cos_sql("q.emb", "c.emb"), mod=PROBE_MOD, k=TOP_K),
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the probe vectors against the full
+    corpus, rank per probe, keep k.
+
+    Plan shape for scale: ``broadcast(probes)`` × corpus scan (no corpus
+    shuffle) → per-query TopK window. Ties broken by neighbor_id for
+    determinism; ranking uses the unrounded score."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    q, c = F.broadcast(probes).alias("q"), e.alias("c")
+    scored = (
+        q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine(F.col("q.emb"), F.col("c.emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# threshold similarity join (probe-style)
+# ---------------------------------------------------------------------------
+
+SIM_THRESHOLD = 0.3
+
+
+@query(
+    "sim_threshold_join",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           c.label AS match_label, round({cos}, 6) AS cos
+    FROM e q JOIN e c ON q.vec_id % {mod} = 0 AND c.vec_id <> q.vec_id
+    WHERE {cos} >= {t}
+    """.format(cos=_cos_sql("q.emb", "c.emb"), mod=PROBE_MOD, t=SIM_THRESHOLD),
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join: probe set × corpus, keep pairs with cosine ≥ t.
+    Broadcast probe side; the threshold filter sits directly on the
+    codegen'd cosine expression."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    q, c = F.broadcast(probes).alias("q"), e.alias("c")
+    cos = cosine(F.col("q.emb"), F.col("c.emb"))
+    return (
+        q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
+        .filter(cos >= SIM_THRESHOLD)
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("match_id"),
+            F.col("c.label").alias("match_label"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed ANN (deterministic, oracle-replicated)
+# ---------------------------------------------------------------------------
+
+ANN_SIGN_BITS = 8
+ANN_K = 3
+
+
+def _ann_oracle() -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN emb[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(ANN_SIGN_BITS)
+    )
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    eb AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+        FROM eb q JOIN eb c
+          ON q.bucket = c.bucket AND q.vec_id % {mod} = 0
+         AND c.vec_id <> q.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {k}
+    """.format(bucket=bucket, cos=_cos_sql("q.emb", "c.emb"),
+               mod=PROBE_MOD, k=ANN_K)
+
+
+@query("sim_ann_signlsh_topk", oracle=_ann_oracle())
+def sim_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane (axis-sign) LSH buckets on
+    the first 8 dimensions; candidates come from a bucket equi-join and
+    only they are scored — the IVF/LSH scale path where the corpus is
+    hash-partitioned by bucket and each probe touches one partition.
+
+    The oracle runs the identical bucketing, so the approximation itself
+    is value-hash-checked (recall loss vs. the brute-force query is
+    visible by comparing with ``sim_cosine_topk_bruteforce``)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    bucket = F.concat(*[
+        F.when(F.element_at("emb", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(ANN_SIGN_BITS)
+    ])
+    eb = e.withColumn("bucket", bucket)
+    q = F.broadcast(eb.filter(F.col("vec_id") % PROBE_MOD == 0)).alias("q")
+    c = eb.alias("c")
+    scored = (
+        q.join(c, (F.col("q.bucket") == F.col("c.bucket"))
+               & (F.col("c.vec_id") != F.col("q.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine(F.col("q.emb"), F.col("c.emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLlib BucketedRandomProjectionLSH (rows-only: model hashes are
+# MLlib-internal, not reproducible in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+
+@query("sim_mllib_brp_join")
+def sim_mllib_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN similarity join via MLlib ``BucketedRandomProjectionLSH``
+    (seeded → deterministic): array<float> → VectorUDT at the MLlib
+    boundary, ``approxSimilarityJoin`` under an L2 distance threshold,
+    then verify the reported distance exactly with the HOF expression —
+    a self-validating invariant in lieu of a SQL oracle (SURVEY.md
+    §5.2-5). Output: pairs, MLlib distance, exact distance, both rounded
+    (any disagreement would show as check=false rows)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("emb"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=4, seed=42)
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, threshold=1.2, distCol="dist")
+    exact = l2dist(F.col("datasetA.emb"), F.col("datasetB.emb"))
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 6).alias("mllib_dist"),
+            F.round(exact, 6).alias("exact_dist"),
+            (F.round("dist", 6) == F.round(exact, 6)).alias("check"),
+        )
+    )

@@ -1,1 +1,295 @@
-"""Placeholder — filled in by milestone."""
+"""Text analysis over the ``documents`` table (SURVEY.md §2.C):
+token counting (whitespace + BPE-ish regex), language-ID heuristic,
+quality scoring, rolling-hash fingerprinting, TF-IDF, corpus term
+frequencies.
+
+North-star extension tier (BASELINE.json ``north_star``); the anchor in
+the reference is its arbitrary-dataframe-compute contract
+(``layer/python/dask_processing.py:26-27``, README.md:15-16).
+
+Design notes (100 TB posture):
+
+- Everything is built-in ``pyspark.sql.functions`` — string/regexp/HOF
+  expressions inside whole-stage codegen, zero Python in the hot path.
+- Per-document ops (stats, lang-ID, quality, fingerprint) are
+  projection-only: no shuffle at all, trivially linear at any scale.
+- Corpus-level ops (TF-IDF, term frequency) shuffle once on the token —
+  the inverted-index shape — with map-side partial aggregation; document
+  frequency is a broadcast-joined side table (vocabulary ≪ corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+
+BPE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (lower/Title/number/punct pieces — a deterministic stand-in for a
+    real BPE vocab), chars, mean token length. Pure projection — no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_ws.alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                / n_ws, 6).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+# marker-token profiles per language (deterministic n-gram/stopword
+# heuristic; a real system swaps in fastText — the operator shape is the
+# deliverable). Ties resolve by profile order.
+LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["der", "die", "und", "schnell"],
+    "es": ["el", "la", "los", "rapido"],
+}
+
+
+def _count_token_sql(tok: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), t -> t = '{tok}'))"
+
+
+def _langid_oracle() -> str:
+    scores = {
+        lang: " + ".join(_count_token_sql(t) for t in toks)
+        for lang, toks in LANG_MARKERS.items()
+    }
+    s = {lang: f"score_{lang}" for lang in scores}
+    case = (f"CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']} THEN 'en' "
+            f"WHEN {s['de']} >= {s['es']} THEN 'de' ELSE 'es' END")
+    score_cols = ", ".join(f"{expr} AS score_{lang}" for lang, expr in scores.items())
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    SELECT doc_id, {case} AS pred_lang, lang AS actual_lang,
+           {s['en']} AS score_en, {s['de']} AS score_de, {s['es']} AS score_es
+    FROM scored
+    """
+
+
+@query("text_langid_heuristic", oracle=_langid_oracle())
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token profile scoring: count stopword hits
+    per language profile, argmax with deterministic tie-break. All
+    codegen'd array HOFs; projection-only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(markers: list[str]):
+        expr = None
+        for t in markers:
+            cnt = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            expr = cnt if expr is None else expr + cnt
+        return expr
+
+    s = {lang: score(m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), F.col("lang").alias("actual_lang"),
+        s["en"].alias("score_en"), s["de"].alias("score_de"),
+        s["es"].alias("score_es"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               length(replace(text, ' ', '')) AS nc_nospace,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({STOPWORDS!r}, t))) AS n_stop,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        FROM documents)
+    SELECT doc_id,
+           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(n_punct * 1.0 / nc, 6) AS punct_ratio,
+           round((nc - nc_nospace) * 1.0 / nc, 6) AS space_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (n_stop * 1.0 / n_tokens) * 0.3
+                 + (1.0 - n_punct * 1.0 / nc) * 0.2, 6) AS quality
+    FROM q
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword signals combined
+    into one bounded score — the doc-filtering primitive of a training
+    data pipeline. Projection-only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]"))
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / n_chars
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round((n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+                / n_chars, 6).alias("space_ratio"),
+        F.round(F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+                + stop_ratio * 0.3 + (F.lit(1.0) - punct_ratio) * 0.2, 6)
+        .alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+GRAM = 8
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(generate_series(1, length(text) - {GRAM - 1}),
+               i -> CAST(('0x' || substr(md5(substr(text, i, {GRAM})), 1, 8))
+                         AS BIGINT))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum hash over all rolling character
+    8-grams (winnowing's k=1 degenerate — one stable fingerprint per
+    doc, robust to local edits elsewhere in the text). The window sweep
+    is a ``transform`` over ``sequence`` — a codegen'd per-row loop, no
+    explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (GRAM - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("text").substr(i, F.lit(GRAM))), 1, 8),
+            16, 10).cast("long"),
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document. Term frequencies shuffle
+    once on (doc, term); document frequency is a small vocabulary-sized
+    table broadcast back onto TF — the classic inverted-index plan that
+    survives any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, known at plan time
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term",
+                (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus term frequency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_term_frequency",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    SELECT term, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY term
+    ORDER BY n_occurrences DESC, term LIMIT 20
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term frequency top-20: explode → one token-keyed
+    aggregation (map-side partial combine collapses each partition to
+    vocabulary size before the shuffle) → TakeOrdered top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(20)
+    )
