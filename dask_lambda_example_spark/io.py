@@ -27,7 +27,8 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               parallel: bool = False) -> DataFrame:
     """Columnar scan of one driver table (pushdown/pruning-eligible).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS): with
@@ -35,10 +36,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds; convert to a microsecond timestamp with integer
     truncation — exactly what DuckDB does reading the same file, so the
     oracle comparison stays bit-identical.
+
+    ``parallel=True`` repartitions to the session default parallelism:
+    use it for CPU-dense projection pipelines (per-row hashing, array
+    transforms) whose source is a single small file — without a shuffle
+    downstream they would otherwise run on the file's single input
+    partition. At real scale the source has many splits and this
+    becomes a cheap (or unnecessary) rebalance.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

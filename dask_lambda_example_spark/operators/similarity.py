@@ -292,7 +292,11 @@ def sim_mllib_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes",
         bucketLength=2.0, numHashTables=4, seed=42)
     model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, threshold=1.2, distCol="dist")
+    # probe-style (small left side vs. full corpus): bounds the
+    # hash-exploded join — the full self-join quadratically couples the
+    # corpus to itself, which is exactly what LSH joins exist to avoid
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    pairs = model.approxSimilarityJoin(probes, e, threshold=1.2, distCol="dist")
     exact = l2dist(F.col("datasetA.emb"), F.col("datasetB.emb"))
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))

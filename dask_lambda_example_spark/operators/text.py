@@ -102,7 +102,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-token profile scoring: count stopword hits
     per language profile, argmax with deterministic tie-break. All
     codegen'd array HOFs; projection-only, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     toks = F.split(F.col("text"), " ")
 
     def score(markers: list[str]):
@@ -202,7 +202,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, robust to local edits elsewhere in the text). The window sweep
     is a ``transform`` over ``sequence`` — a codegen'd per-row loop, no
     explode, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - (GRAM - 1)),
         lambda i: F.conv(

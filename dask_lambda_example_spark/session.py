@@ -47,10 +47,24 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         # read as long and convert in io.load_table (ns → µs truncation,
         # matching DuckDB's behavior on the same file).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # into an inferred Filter that predicate-pushdown then sinks
+        # below the defining Project, re-expanding aliases — for our
+        # shingle/explode pipelines that re-evaluates an expensive
+        # array transform several times per row (measured 7-10× on the
+        # Jaccard/MinHash inverted-index joins). Our explode inputs are
+        # never null/empty-heavy, so the rule only costs.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_REMOTE"):
         # Local test/bench mode: single JVM, all memory to the driver.
+        # (A smaller AQE advisoryPartitionSizeInBytes speeds up the
+        # CPU-dense/byte-light dedup aggregations 2× in isolation, but
+        # measurably degrades a long multi-query session — keep the
+        # default; per-query parallelism needs are handled with explicit
+        # repartition instead.)
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
         )
