@@ -435,26 +435,18 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. The oracle replicates the identical blocking, so LSH
     recall loss is part of the checked contract.
     """
+    from dask_lambda_example_spark.functions.vector import (
+        as_double, cosine, sign_lsh_bucket)
+
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = F.concat(*[
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(SIGN_BITS)
-    ])
     ed = e.select(
-        "vec_id", bucket.alias("bucket"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        "vec_id",
+        sign_lsh_bucket(F.col("embedding"), SIGN_BITS).alias("bucket"),
+        as_double(F.col("embedding")).alias("emb"),
     )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda p, q: p * q),
-            F.lit(0.0), lambda acc, x: acc + x)
-
     a = ed.alias("a")
     b = ed.alias("b")
-    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.sqrt(dot(F.col("a.emb"), F.col("a.emb")))
-        * F.sqrt(dot(F.col("b.emb"), F.col("b.emb"))))
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -27,37 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dask_lambda_example_spark.functions.vector import (
+    as_double, cosine, dot, l2dist, l2norm, sign_lsh_bucket)
 from dask_lambda_example_spark.io import load_table
 from dask_lambda_example_spark.registry import query
 
 # ---------------------------------------------------------------------------
 # vector expression toolkit (JVM HOFs, no UDFs)
 # ---------------------------------------------------------------------------
-
-
-def as_double(vec) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
-
-
-def dot(u: Column, v: Column) -> Column:
-    """In-order left fold — same summation order as DuckDB's
-    ``list_dot_product`` (doubles are order-sensitive)."""
-    return F.aggregate(F.zip_with(u, v, lambda p, q: p * q),
-                       F.lit(0.0), lambda acc, x: acc + x)
-
-
-def l2norm(u: Column) -> Column:
-    return F.sqrt(dot(u, u))
-
-
-def cosine(u: Column, v: Column) -> Column:
-    return dot(u, v) / (l2norm(u) * l2norm(v))
-
-
-def l2dist(u: Column, v: Column) -> Column:
-    return F.sqrt(F.aggregate(
-        F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
-        F.lit(0.0), lambda acc, x: acc + x))
 
 
 DOT_SQL = "list_dot_product({a}, {b})"
@@ -241,11 +218,7 @@ def sim_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible by comparing with ``sim_cosine_topk_bruteforce``)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
-    bucket = F.concat(*[
-        F.when(F.element_at("emb", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(ANN_SIGN_BITS)
-    ])
-    eb = e.withColumn("bucket", bucket)
+    eb = e.withColumn("bucket", sign_lsh_bucket(F.col("emb"), ANN_SIGN_BITS))
     q = F.broadcast(eb.filter(F.col("vec_id") % PROBE_MOD == 0)).alias("q")
     c = eb.alias("c")
     scored = (

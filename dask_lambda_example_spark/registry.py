@@ -70,11 +70,13 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.windows  # noqa: F401
     import dask_lambda_example_spark.operators.timeseries  # noqa: F401
     import dask_lambda_example_spark.operators.setops  # noqa: F401
+    import dask_lambda_example_spark.operators.subqueries  # noqa: F401
     import dask_lambda_example_spark.operators.dedup  # noqa: F401
     import dask_lambda_example_spark.operators.similarity  # noqa: F401
     import dask_lambda_example_spark.operators.text  # noqa: F401
     import dask_lambda_example_spark.operators.multimodal  # noqa: F401
     import dask_lambda_example_spark.operators.udf_surface  # noqa: F401
     import dask_lambda_example_spark.sources.synthetic  # noqa: F401
+    import dask_lambda_example_spark.sources.formats  # noqa: F401
     import dask_lambda_example_spark.streaming.pipeline  # noqa: F401
     _LOADED = True

@@ -57,6 +57,9 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
+        # full PushedFilters/ReadSchema in plan strings (default 100
+        # chars truncates them) — the plan-contract tests parse these
+        .config("spark.sql.maxMetadataStringLength", "2000")
     )
     if not os.environ.get("SPARK_GRAFT_REMOTE"):
         # Local test/bench mode: single JVM, all memory to the driver.

@@ -1,0 +1,166 @@
+"""Format round-trips (SURVEY.md §2.B "Scans / sources / sinks"):
+CSV / JSON / ORC / hive-partitioned parquet write→read, plus local-data
+ingestion (``createDataFrame``, dask's ``from_pandas``).
+
+Reference anchors: the producer writes JSON under hive-partitioned keys
+(``src/lambda_producer.py:22-27``), the consumer reads single JSON
+objects (``layer/python/dask_processing.py:17-18``), and the implied
+``dd.read_csv/read_json/read_orc/to_*`` family (SURVEY.md §2.B).
+
+Every round-trip query WRITES a deterministic projection of a driver
+table to a scratch dir, READS it back with an explicit schema (never
+inference — a full extra pass at 100 TB), and aggregates; the DuckDB
+oracle computes the same aggregate from the original table, so a
+value-hash match proves the sink+source pair preserved the data.
+
+Scale posture: all four sinks shard per-partition (one file per task —
+the only write shape that scales); the partitioned-parquet query proves
+partition *pruning* on read-back (the layout the producer builds by
+hand, ``src/lambda_producer.py:23``, is exactly ``partitionBy``'s).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats")
+
+
+def _dir(name: str) -> str:
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "fmt_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           length(n_name) AS name_len
+    FROM nation
+    """,
+)
+def fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV scan with explicit schema (``dd.read_csv`` /
+    ``to_csv``). Header on, no inference on read-back."""
+    path = _dir("nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True).csv(path)
+    )
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.length("n_name").alias("name_len"))
+
+
+@query(
+    "fmt_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders WHERE o_orderkey < 500
+    GROUP BY o_orderstatus
+    """,
+)
+def fmt_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → JSON scan with explicit schema (the producer's
+    object-per-record JSON, ``src/lambda_producer.py:25``, batch form).
+    Timestamps round-trip ISO-8601; the aggregate proves value fidelity."""
+    path = _dir("orders_json")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+        .write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 6).alias("total"))
+    )
+
+
+@query(
+    "fmt_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    """,
+)
+def fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan (``dd.read_orc``): the other columnar format,
+    same pushdown/pruning machinery as parquet."""
+    path = _dir("lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    li.select("l_orderkey", "l_returnflag", "l_quantity") \
+        .write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+    )
+
+
+@query(
+    "fmt_partitioned_parquet_pruned",
+    oracle="""
+    SELECT user_id, count(*) AS n_views, round(sum(value), 6) AS sum_value
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def fmt_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write (``partitionBy`` — the layout the
+    producer hand-builds, ``src/lambda_producer.py:23``) → read-back
+    where the ``event_type='view'`` predicate prunes partitions: only
+    the ``event_type=view/`` directory is scanned (PartitionFilters in
+    the plan; tests/test_plans.py asserts it)."""
+    path = _dir("events_by_type")
+    e = load_table(spark, sf_dir, "events")
+    e.select("event_id", "user_id", "value", "event_type") \
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "view")
+    return (
+        back.groupBy("user_id")
+        .agg(F.count("*").alias("n_views"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@query(
+    "fmt_local_data_broadcast",
+    oracle="""
+    SELECT h.hemisphere, count(*) AS n_nations
+    FROM nation n
+    JOIN (VALUES (0, 'south'), (1, 'north'), (2, 'north'),
+                 (3, 'north'), (4, 'south')) AS h(r_key, hemisphere)
+      ON n.n_regionkey = h.r_key
+    GROUP BY h.hemisphere
+    """,
+)
+def fmt_local_data_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local data → DataFrame (``createDataFrame``; dask
+    ``from_pandas``/``from_dict``) broadcast-joined to a table — the
+    canonical small-dim enrichment: the 5-row lookup ships to every
+    executor, the big side never shuffles."""
+    lookup = spark.createDataFrame(
+        [(0, "south"), (1, "north"), (2, "north"), (3, "north"), (4, "south")],
+        schema="r_key int, hemisphere string")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(lookup), n.n_regionkey == lookup.r_key)
+        .groupBy("hemisphere")
+        .agg(F.count("*").alias("n_nations"))
+    )

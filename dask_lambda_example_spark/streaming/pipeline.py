@@ -189,3 +189,53 @@ def foreach_batch_to_parquet(spark: SparkSession, sf_dir: str,
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+@query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.B "per-key running state"): per-user running
+    count/sum kept in explicit GroupState across micro-batches.
+
+    The static input arrives as one AvailableNow batch, so each key
+    emits exactly one update and the result equals the batch aggregate
+    the oracle computes — while exercising the real state machinery
+    (state schema, get/update, Arrow exchange). At scale, state is
+    hash-partitioned by key in the checkpoint; a timeout policy
+    (``GroupStateTimeout`` other than NoTimeout) bounds it for keys
+    that go quiet.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_totals(key, pdfs, state):
+        import pandas as _pd
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "sum_value": [round(total, 6)],
+        })
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    table = _mem_table("stream_stateful")
+    run_available_now(out, table, output_mode="update")
+    return spark.table(table)

@@ -1,0 +1,99 @@
+"""Optimizer-contract tests (SURVEY.md §4): the plan shapes that decide
+100 TB viability, asserted on representative queries — pushdown reaches
+the scan, projections prune columns, partitioned layouts prune
+directories, small dims broadcast, subqueries decorrelate to semi/anti
+joins, aggregations combine map-side, hot paths stay in codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_join_type,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_partition_filter,
+    assert_pushed_filter,
+    assert_read_schema_excludes,
+    assert_wholestage_codegen,
+)
+from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["project_filter_pushdown"].fn(spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    # a 2-column projection must not scan the wide text column
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    assert_read_schema_excludes(df, "text")
+
+
+def test_partition_pruning_on_hive_layout(spark, sf_dir):
+    df = QUERIES["fmt_partitioned_parquet_pruned"].fn(spark, sf_dir)
+    assert_partition_filter(df, "event_type")
+
+
+def test_small_dim_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_broadcast_fact_dim"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_star_join_no_cartesian(spark, sf_dir):
+    df = QUERIES["join_star_customer_geo"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_exists_subquery_decorrelates_to_semijoin(spark, sf_dir):
+    df = QUERIES["subq_exists_semijoin"].fn(spark, sf_dir)
+    assert_join_type(df, "LeftSemi")
+
+
+def test_not_exists_decorrelates_to_antijoin(spark, sf_dir):
+    df = QUERIES["subq_not_exists_antijoin"].fn(spark, sf_dir)
+    assert_join_type(df, "LeftAnti")
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    df = QUERIES["flagship_groupby_mean_std"].fn(spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_wholestage_codegen(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sort_limit_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_similarity_probe_broadcasts(spark, sf_dir):
+    df = QUERIES["sim_cosine_topk_bruteforce"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+
+
+def test_vector_ops_stay_jvm_side(spark, sf_dir):
+    # HOF cosine must not fall back to a Python UDF (BatchEvalPython)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_vector_math"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
+    # the dedup window partitions on the 128-bit hash; the original
+    # text column must be pruned from the scan (only doc_id + text in,
+    # but the shuffle carries hash — check text not in exchange output)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["dedup_exact_hash"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning(content_hash" in plan
