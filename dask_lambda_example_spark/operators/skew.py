@@ -1,0 +1,124 @@
+"""Skew & co-location strategies (SURVEY.md §2's 100 TB posture rows):
+explicit key salting for hot-key joins and bucketed tables for
+shuffle-free co-located joins.
+
+The reference never faces skew (its one aggregation has ~26 uniform
+groups, ``layer/python/dask_processing.py:31-32``); at 100 TB skewed
+keys are the dominant join failure mode. Two answers, both
+value-hash-checked against the plain-join oracle (salting/bucketing are
+physical strategies — the results must be identical):
+
+- **Salting**: split each hot key into ``N_SALT`` sub-keys — the fact
+  side salts deterministically by row hash, the dim side replicates
+  ×N_SALT — turning one oversized shuffle partition into N even ones.
+  (AQE's skew-join handles moderate skew automatically — ``session.py``
+  enables it; explicit salting is the heavy-artillery version that also
+  works for aggregations.)
+- **Bucketing**: pre-shuffle both tables into the same bucket layout at
+  write time; every later join/aggregation on the bucket key runs with
+  ZERO exchange (asserted in tests/test_plans.py) — the amortize-one-
+  shuffle-across-many-queries pattern.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+N_SALT = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.user_id, u.n_user_events, count(*) AS n,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_user_events
+          FROM events GROUP BY user_id) u
+      ON e.user_id = u.user_id
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id, u.n_user_events
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: events.user_id is low-cardinality (every key is
+    'hot'). The fact side gets a deterministic salt from the row id;
+    the dim side cross-joins the salt range, so the join key becomes
+    (user_id, salt) — N_SALT× more, evenly sized, shuffle partitions.
+    The result is identical to the unsalted join the oracle runs."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click")
+    dim = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id").agg(F.count("*").alias("n_user_events")))
+
+    salted_fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    salts = spark.range(N_SALT).select(F.col("id").cast("long").alias("salt"))
+    salted_dim = dim.crossJoin(F.broadcast(salts))
+
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("user_id", "n_user_events")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+_WAREHOUSE_TABLES_READY: set[str] = set()
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 6) AS total
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both tables are written bucketed by the
+    join key (``bucketBy(8, orderkey)`` + ``sortBy``), so the sort-merge
+    join consumes matching buckets directly — NO Exchange in the plan
+    (tests/test_plans.py asserts it), and the follow-up aggregation on
+    o_orderkey-derived grouping reuses the layout.
+
+    This is the pay-the-shuffle-once pattern: at 100 TB, bucket the fact
+    table at ingest and every orderkey join afterwards is shuffle-free.
+    (``hint("merge")`` keeps the demo on the SMJ path — a broadcast
+    would also be exchange-free here but proves nothing about layout.)
+    """
+    if sf_dir not in _WAREHOUSE_TABLES_READY:
+        # a previous process may have left the managed locations behind
+        # without catalog entries — overwrite can't reclaim those
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        for tbl in ("orders_bkt", "lineitem_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(warehouse.removeprefix("file:"), tbl)
+            shutil.rmtree(loc, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("orders_bkt"))
+        (li.select("l_orderkey", "l_extendedprice")
+         .write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("lineitem_bkt"))
+        _WAREHOUSE_TABLES_READY.add(sf_dir)
+
+    ob = spark.table("orders_bkt")
+    lb = spark.table("lineitem_bkt")
+    return (
+        ob.join(lb.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum("l_extendedprice"), 6).alias("total"))
+    )

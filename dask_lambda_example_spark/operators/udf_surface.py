@@ -154,3 +154,35 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("priority:"), F.col("o_orderpriority")),
     )
     return o.select("o_orderkey", F.explode(tags).alias("tag"))
+
+
+@query(
+    "udf_real_python_udtf",
+    oracle="""
+    SELECT o_orderkey, unnest(['status:' || o_orderstatus,
+                               'priority:' || o_orderpriority]) AS tag
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def udf_real_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Python UDTF (``@udtf``, Spark 3.5+): one input row →
+    several output rows from arbitrary Python, consumed via a LATERAL
+    join. Arrow-batched like the other UDF forms. (The explode-based
+    ``udf_python_udtf`` shows the JVM fast path for the same shape —
+    prefer it when the expansion is expressible as an array.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, tag string")
+    class TagExploder:
+        def eval(self, o_orderkey: int, status: str, priority: str):
+            yield o_orderkey, f"status:{status}"
+            yield o_orderkey, f"priority:{priority}"
+
+    spark.udtf.register("tag_exploder", TagExploder)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT t.o_orderkey, t.tag
+        FROM orders_v,
+             LATERAL tag_exploder(o_orderkey, o_orderstatus, o_orderpriority) t
+        WHERE orders_v.o_orderkey < 100
+    """)

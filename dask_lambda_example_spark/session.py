@@ -17,6 +17,7 @@ expected to be overridden (or AQE-coalesced) on a cluster.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -60,6 +61,10 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         # full PushedFilters/ReadSchema in plan strings (default 100
         # chars truncates them) — the plan-contract tests parse these
         .config("spark.sql.maxMetadataStringLength", "2000")
+        # fixed writable warehouse for bucketed saveAsTable regardless
+        # of the driver's cwd
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
     )
     if not os.environ.get("SPARK_GRAFT_REMOTE"):
         # Local test/bench mode: single JVM, all memory to the driver.

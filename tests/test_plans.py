@@ -97,3 +97,15 @@ def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
     df = QUERIES["dedup_exact_hash"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "Exchange hashpartitioning(content_hash" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # pay-the-shuffle-once: bucketed tables feed the SMJ directly
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    join_subtree = plan[plan.find("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree
+    assert "SelectedBucketsCount" in plan
