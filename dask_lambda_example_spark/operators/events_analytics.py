@@ -1,0 +1,189 @@
+"""Event-pipeline analytics over the ``events`` stream table:
+sessionization (gap-based), funnel conversion, cohort retention, and
+event-transition paths.
+
+The reference's events are files-arriving-over-time
+(``app.py:174-175``); its only analysis is the flagship aggregate.
+These operators are the standard event-analytics repertoire a user of
+such a pipeline runs next — all expressed as window + aggregation
+DataFrame programs (SURVEY.md §2.B windows/aggregations rows).
+
+Scale posture: every query partitions by ``user_id`` first — windows
+and session logic run inside one key's partition slice; the final
+rollups are ordinary partial+final aggregations. Event-time ordering
+uses (ts, event_id) so duplicate timestamps can't make results
+nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.io import load_table
+from dask_lambda_example_spark.registry import query
+
+SESSION_GAP_MIN = 360  # 6 hours
+
+
+@query(
+    "ev_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           round(epoch(max(ts) - min(ts)), 6) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >6 h of
+    inactivity; session id = running count of session starts (the
+    classic lag + cumulative-sum idiom). Both windows share one
+    (user_id)-partitioned sort, so the whole query is one shuffle +
+    one per-key ordered pass, then a session rollup."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # microsecond arithmetic — unix_timestamp() truncates to seconds,
+    # which would drift from the oracle's exact INTERVAL comparison
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts)
+           > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.round((F.unix_micros(F.max("ts"))
+                      - F.unix_micros(F.min("ts"))) / 1e6, 6)
+             .alias("duration_sec"))
+    )
+
+
+@query(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS step_click,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS step_purchase
+    FROM per_user
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: first-occurrence
+    timestamps per stage via conditional MIN (one aggregation pass per
+    user — no self-joins), then ordering constraints count who
+    progressed. Two shuffles total regardless of funnel depth."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"))
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        cnt(viewed).alias("step_view"),
+        cnt(clicked).alias("step_click"),
+        cnt(bought).alias("step_purchase"))
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_diff('week', f.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted per
+    week-offset of later activity. The firsts table is user-cardinality
+    (small) and broadcasts back onto events; distinct-per-user-week
+    collapses before the final count."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    week = F.date_trunc("week", F.col("ts"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_week",
+                (F.datediff(week, F.col("cohort_week")) / 7)
+                .cast("long").alias("week_offset"))
+        .distinct()
+    )
+    return (activity.groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").alias("n_active")))
+
+
+@query(
+    "ev_transition_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ev_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (bigram) counts per user stream — the Markov
+    path matrix. One user-partitioned ordered pass (lead), one
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
