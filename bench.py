@@ -45,6 +45,23 @@ def main() -> None:
             print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
+
+    # Reference-envelope comparison (BASELINE.md): the flagship
+    # computation over the reference's own workload shape — a 100-day
+    # synthetic 1 s-frequency timeseries (8.64 M rows, the middle of the
+    # count∈[10,1000]-days range) — reported as rows/second against the
+    # reference's implied ≥288 k rows/s worst-case bound on 8 vCPUs.
+    from dask_lambda_example_spark.sources.synthetic import timeseries
+    from pyspark.sql import functions as F
+
+    n_days = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DAYS", "100"))
+    t0 = time.perf_counter()
+    ts = timeseries(spark, n_days=n_days)
+    (ts.groupBy("name").agg(F.avg("y").alias("y"))
+       .agg(F.stddev_samp("y")).collect())
+    flagship_s = time.perf_counter() - t0
+    flagship_rows = n_days * 86_400
+
     print(json.dumps({
         "metric": "total_query_wall_time",
         "value": total,
@@ -53,6 +70,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
         "failed": sorted(n for n, t in times.items() if t < 0),
+        "flagship_synth_rows": flagship_rows,
+        "flagship_synth_sec": round(flagship_s, 4),
+        "flagship_rows_per_sec": round(flagship_rows / flagship_s),
     }))
 
 
