@@ -239,3 +239,77 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     table = _mem_table("stream_stateful")
     run_available_now(out, table, output_mode="update")
     return spark.table(table)
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged)
+    SELECT user_id, min(ts) AS s_start, count(*) AS n,
+           round(sum(value), 6) AS sum_v
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (``session_window`` under
+    ``readStream`` — the stateful merge-as-events-arrive form; state per
+    open session, closed by watermark advance). Static input in one
+    AvailableNow batch ⇒ equals the batch sessionization the oracle
+    derives via lag-gap-cumsum."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+        .select("user_id", F.col("w.start").alias("s_start"), "n", "sum_v")
+    )
+    table = _mem_table("stream_session")
+    run_available_now(agg, table)
+    return spark.table(table)
+
+
+@query("stream_rate_source_smoke")  # wall-clock-driven source → rows-only
+def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rate`` source — streaming analog of the synthetic
+    timeseries (SURVEY.md §1.3): N rows/second of (timestamp, value),
+    generated distributedly. Timestamps are wall-clock ⇒ rows-only
+    check on the derived aggregate's shape."""
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 1000).load()
+              .withColumn("name", F.char(F.lit(97) + (F.col("value") % 26)
+                                         .cast("int"))))
+    agg = stream.groupBy("name").agg(
+        F.count("*").alias("n"), F.avg("value").alias("mean_v"))
+    table = _mem_table("stream_rate")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(table)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second")
+         .start())
+    try:
+        # let a couple of micro-batches land, then stop — episodic use
+        # of a continuous trigger (the reference's 1-minute cadence,
+        # app.py:131-134, compressed for test time)
+        import time as _time
+        deadline = _time.time() + 8
+        while _time.time() < deadline and spark.table(table).count() == 0:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(table)
