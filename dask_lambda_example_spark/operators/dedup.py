@@ -455,3 +455,80 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.vec_id").alias("vec_b"),
                 F.round(cos, 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (cross-dataset n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECONTAM_GRAM = 5
+
+
+def _gram5_sql(source_filter: str) -> str:
+    return f"""
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - {DECONTAM_GRAM - 1}),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE {source_filter})
+    """
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH bench AS ({_gram5_sql("source = 'src0'")}),
+    corpus AS ({_gram5_sql("source <> 'src0'")}),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM corpus c JOIN bench b ON c.g = b.g)
+    SELECT d.doc_id, d.source,
+           (ct.doc_id IS NOT NULL) AS contaminated
+    FROM documents d
+    LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with a held-out benchmark set (here: ``source='src0'``
+    stands in for the benchmark corpus) — the standard n-gram-overlap
+    test-set-leakage check of an LLM data pipeline.
+
+    Plan shape: two shingle scans → one equi-join on the 5-gram (the
+    benchmark side is tiny and broadcasts) → distinct contaminated ids →
+    left join back for the flag. At 100 TB the benchmark n-gram set is
+    a broadcast bloom/exact set; the corpus is touched once, no
+    self-coupling."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+
+    def gram5(df: DataFrame) -> DataFrame:
+        wsdf = df.select("doc_id", ws.alias("ws"))
+        n = F.size(F.col("ws"))
+        grams = F.when(
+            n >= DECONTAM_GRAM,
+            F.transform(
+                F.sequence(F.lit(1), n - (DECONTAM_GRAM - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("ws"), i + k)
+                           for k in range(DECONTAM_GRAM)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (wsdf.select("doc_id", F.array_distinct(grams).alias("arr"))
+                .select("doc_id", F.explode("arr").alias("g")))
+
+    bench = gram5(d.filter(F.col("source") == "src0"))
+    corpus = gram5(d.filter(F.col("source") != "src0"))
+    contaminated = (
+        corpus.join(F.broadcast(bench.select("g").distinct()), "g")
+        .select("doc_id").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left")
+        .select("doc_id", "source",
+                F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated"))
+    )

@@ -281,3 +281,139 @@ def sim_mllib_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("dist", 6) == F.round(exact, 6)).alias("check"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization + cell-pruned search
+# ---------------------------------------------------------------------------
+
+IVF_K = 3
+
+
+@query(
+    "sim_ivf_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(val), 6) AS centroid_val
+    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build: the centroid of each cell (cells =
+    the label partitioning; a k-means assignment would slot in
+    identically) as (label, dim, value) rows — vector aggregation via
+    ``posexplode`` + one grouped average. At scale this is a single
+    partial+final aggregation over n_cells × dim groups, regardless of
+    corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(as_double(F.col("embedding")))
+                 .alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+def _ivf_search_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    expl AS (SELECT vec_id, label, unnest(emb) AS val,
+                    generate_subscripts(emb, 1) AS pos FROM e),
+    cen AS (SELECT label, pos, avg(val) AS cval FROM expl GROUP BY label, pos),
+    cnorm AS (SELECT label, sqrt(sum(cval * cval)) AS nrm FROM cen GROUP BY label),
+    probes AS (SELECT vec_id, emb FROM e WHERE vec_id % {PROBE_MOD} = 0),
+    pexpl AS (SELECT vec_id, unnest(emb) AS val,
+                     generate_subscripts(emb, 1) AS pos FROM probes),
+    pnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm
+              FROM pexpl GROUP BY vec_id),
+    pc AS (
+        SELECT p.vec_id, c.label,
+               sum(p.val * c.cval) / (pn.nrm * cn.nrm) AS ccos
+        FROM pexpl p JOIN cen c ON p.pos = c.pos
+        JOIN pnorm pn ON pn.vec_id = p.vec_id
+        JOIN cnorm cn ON cn.label = c.label
+        GROUP BY p.vec_id, c.label, pn.nrm, cn.nrm),
+    assigned AS (
+        SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, label) AS rn
+            FROM pc) WHERE rn = 1),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q.emb', 'c.emb')} AS cos
+        FROM probes q
+        JOIN assigned a ON a.vec_id = q.vec_id
+        JOIN e c ON c.label = a.label AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= {IVF_K}
+    """
+
+
+@query("sim_ivf_search", oracle=_ivf_search_oracle())
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign each probe to its nearest centroid (cosine
+    over the tiny centroid table), then exact top-k *within that cell
+    only* — the partition-pruned ANN scale path: with the corpus
+    hash-partitioned by cell, each probe reads 1/n_cells of the data.
+
+    Probe↔centroid scoring runs in exploded (vec_id, pos, val) form on
+    BOTH sides so the float summation grouping is identical; the
+    in-cell rerank uses the exact HOF cosine. The oracle replicates the
+    whole pipeline — assignment mistakes (vs. brute force) are part of
+    the checked contract."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    expl = e.select(
+        "vec_id", "label",
+        F.posexplode("emb").alias("pos0", "val")).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+
+    cen = expl.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cnorm = cen.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nrm"))
+
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    pexpl = expl.filter(F.col("vec_id") % PROBE_MOD == 0).drop("label")
+    pnorm = pexpl.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+
+    pc = (
+        pexpl.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+        .join(F.broadcast(pnorm.withColumnRenamed("nrm", "pn")), "vec_id")
+        .join(F.broadcast(cnorm.withColumnRenamed("nrm", "cn")), "label")
+        .select("vec_id", "label",
+                (F.col("dot") / (F.col("pn") * F.col("cn"))).alias("ccos"))
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    assigned = (pc.withColumn("rn", F.row_number().over(wassign))
+                .filter(F.col("rn") == 1).select("vec_id", "label"))
+
+    q = (F.broadcast(probes.select("vec_id", "emb").join(assigned, "vec_id"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("cell"),
+                 F.col("emb").alias("qemb")))
+    c = e.alias("c")
+    scored = (
+        q.join(c, (F.col("c.label") == F.col("cell"))
+               & (F.col("c.vec_id") != F.col("query_id")))
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                cosine(F.col("qemb"), F.col("c.emb")).alias("cos"))
+    )
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                   F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+                "rank")
+    )
