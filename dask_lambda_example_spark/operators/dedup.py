@@ -233,13 +233,15 @@ N_HASHES = 16
 N_BANDS = 8
 
 
+_M32_MOD = 4_294_967_296
+
+
 def _minhash_oracle() -> str:
     """The full MinHash→LSH→verify pipeline in DuckDB SQL — textually
-    generated so it provably uses the same seeds/bands as the Spark
-    side."""
+    generated so it provably uses the same hash family/bands as the
+    Spark side."""
     mh_cols = ", ".join(
-        "min({h}) AS mh{i}".format(
-            h=HEX32_SQL.format(x="token || '#{}'".format(i)), i=i)
+        f"min((h1 + {i} * h2) % {_M32_MOD}) AS mh{i}"
         for i in range(N_HASHES)
     )
     band_rows = " UNION ALL ".join(
@@ -247,9 +249,12 @@ def _minhash_oracle() -> str:
         f"concat(mh{2 * b}, '|', mh{2 * b + 1}) AS band_val FROM sig"
         for b in range(N_BANDS)
     )
+    h1 = HEX32_SQL.format(x="token")
+    h2 = HEX32_SQL.format(x="token || '#'")
     return f"""
     WITH tok AS ({SHINGLES_SQL}),
-    sig AS (SELECT doc_id, {mh_cols} FROM tok GROUP BY doc_id),
+    th AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM tok),
+    sig AS (SELECT doc_id, {mh_cols} FROM th GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -274,8 +279,9 @@ def _minhash_oracle() -> str:
 
 @query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 16 seeded-md5 minhashes per doc → 8 bands
-    of 2 → band-value equi-join for candidates → exact Jaccard verify.
+    """MinHash + LSH near-dup: 16 universal-family minhashes per doc
+    (gᵢ = (h1 + i·h2) mod 2³² over two md5-derived hashes) → 8 bands of
+    2 → band-value candidates → exact Jaccard verify.
 
     This is the web-scale dedup shape: signature build is one shuffle
     (groupBy doc), the band join shuffles 8 small (doc_id, band_val)
@@ -292,9 +298,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a parquet checkpoint between stages).
     tok = shingles(d).cache()
 
-    # signature: one aggregation pass, 16 mins computed together
-    sig = tok.groupBy("doc_id").agg(*[
-        F.min(hex32(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"mh{i}")
+    # signature: universal-hashing family g_i = (h1 + i·h2) mod 2³²
+    # from TWO md5-derived hashes per shingle (not 16 md5 calls — the
+    # affine combinations are integer ops); h1/h2 materialized as
+    # columns so the 16 min-aggregates reference attributes instead of
+    # re-evaluating md5. One aggregation pass computes all 16 mins.
+    th = tok.select(
+        "doc_id",
+        hex32(F.col("token")).alias("h1"),
+        hex32(F.concat(F.col("token"), F.lit("#"))).alias("h2"))
+    sig = th.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + i * F.col("h2")) % _M32_MOD).alias(f"mh{i}")
         for i in range(N_HASHES)
     ])
 
