@@ -268,3 +268,104 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("value"), 6).alias("low_v"),
              F.round(F.max_by("value", "ts"), 6).alias("close_v"))
     )
+
+
+def asof_join_forward(events: DataFrame, right: DataFrame,
+                      left_key: str, right_key: str,
+                      left_ts: str, right_ts: str,
+                      payload_cols: list[str]) -> DataFrame:
+    """Forward as-of (``merge_asof(direction='forward')``): for each
+    left row, the EARLIEST right row with ``right_ts >= left_ts`` per
+    key — the mirror of ``asof_join_backward``: same union, descending
+    ordered window, right rows after left rows at equal timestamps so
+    exact matches are still taken."""
+    left_tagged = events.select(
+        F.col(left_key).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+               for c in payload_cols])
+    right_tagged = right.select(
+        F.col(right_key).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c)
+          for c in events.columns],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols])
+    unioned = left_tagged.unionByName(right_tagged)
+    w = (W.partitionBy("__k").orderBy(F.desc("__t"), F.desc("__side"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        "*", *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+               for c in payload_cols])
+    return (
+        filled.filter(F.col("__side") == 0)
+        .select(*events.columns,
+                *[F.col(f"__m_{c}").alias(c) for c in payload_cols])
+    )
+
+
+@query(
+    "ts_asof_join_forward",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM events
+    ASOF LEFT JOIN orders
+      ON events.user_id = orders.o_custkey AND events.ts <= orders.o_orderdate
+    """,
+)
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: earliest order at-or-after each event time.
+    Oracle = DuckDB's native ASOF JOIN with the <= inequality."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    return asof_join_forward(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_orderdate"],
+    )
+
+
+@query(
+    "ts_asof_join_nearest",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, ts, o_orderkey AS bk, o_orderdate AS bt
+        FROM events ASOF LEFT JOIN orders
+          ON events.user_id = orders.o_custkey
+         AND events.ts >= orders.o_orderdate),
+    f AS (
+        SELECT event_id, o_orderkey AS fk, o_orderdate AS ft
+        FROM events ASOF LEFT JOIN orders
+          ON events.user_id = orders.o_custkey
+         AND events.ts <= orders.o_orderdate)
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN bt IS NULL THEN fk
+                WHEN ft IS NULL THEN bk
+                WHEN (b.ts - bt) <= (ft - b.ts) THEN bk ELSE fk END
+               AS o_orderkey
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (``merge_asof(direction='nearest')``): the closer
+    of the backward and forward matches, ties to backward — composed
+    from the two directional joins sharing one key shuffle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    b = asof_join_backward(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+                           ["o_orderkey", "o_orderdate"]) \
+        .withColumnRenamed("o_orderkey", "bk") \
+        .withColumnRenamed("o_orderdate", "bt")
+    f = asof_join_forward(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+                          ["o_orderkey", "o_orderdate"]) \
+        .select("event_id", F.col("o_orderkey").alias("fk"),
+                F.col("o_orderdate").alias("ft"))
+    # o_orderdate scans as TIMESTAMP_NTZ; cast is identity under the
+    # UTC-pinned session and unix_micros requires TIMESTAMP
+    def um(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    back_closer = um("ts") - um("bt") <= um("ft") - um("ts")
+    pick = (F.when(F.col("bt").isNull(), F.col("fk"))
+            .when(F.col("ft").isNull(), F.col("bk"))
+            .when(back_closer, F.col("bk")).otherwise(F.col("fk")))
+    return (b.join(f, "event_id")
+            .select("event_id", "user_id", "ts", pick.alias("o_orderkey")))
