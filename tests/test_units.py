@@ -1,0 +1,82 @@
+"""Unit tests for the reusable pieces beneath the query surface: the
+vector expression library, the shingle builder, the as-of join helpers,
+and the multimodal decoder stub seam."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_lambda_example_spark.functions.vector import (
+    cosine,
+    dot,
+    l2dist,
+    l2norm,
+    sign_lsh_bucket,
+)
+from dask_lambda_example_spark.operators.dedup import hex32, shingles
+from dask_lambda_example_spark.operators.multimodal import (
+    FAKE_IMAGE_MAGIC,
+    decode_image_stub,
+)
+from dask_lambda_example_spark.operators.timeseries import (
+    asof_join_backward,
+    asof_join_forward,
+)
+
+
+def test_vector_expressions(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "u array<double>, v array<double>")
+    row = df.select(
+        dot(F.col("u"), F.col("v")).alias("d"),
+        l2norm(F.col("u")).alias("n"),
+        l2dist(F.col("u"), F.col("v")).alias("l2"),
+        cosine(F.col("u"), F.col("v")).alias("c"),
+        sign_lsh_bucket(F.col("u"), 2).alias("b"),
+    ).first()
+    assert row.d == 24.0
+    assert row.n == 5.0
+    assert math.isclose(row.l2, math.sqrt(2))
+    assert math.isclose(row.c, 24.0 / 25.0)
+    assert row.b == "11"
+
+
+def test_shingles_short_doc_guard(spark):
+    # fewer than 3 tokens must yield zero shingles (Spark's sequence()
+    # counts down when start > stop — the guard prevents that)
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: (r.sz, r.token) for r in shingles(df).collect()}
+    assert 1 not in out
+    assert out[2][0] == 2  # "a b c", "b c d"
+
+
+def test_hex32_matches_duckdb(spark, duck):
+    s_val = spark.range(1).select(hex32(F.lit("hello"))).first()[0]
+    d_val = duck.sql(
+        "SELECT CAST(('0x' || substr(md5('hello'), 1, 8)) AS BIGINT)"
+    ).fetchone()[0]
+    assert s_val == d_val
+
+
+def test_asof_directions(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "event_id long, k long, t long").select(
+        "event_id", "k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(10, 3, 100), (10, 7, 200)], "k long, rt long, payload long").select(
+        "k", F.timestamp_seconds("rt").alias("rt"), "payload")
+    b = asof_join_backward(left, right, "k", "k", "t", "rt", ["payload"])
+    f = asof_join_forward(left, right, "k", "k", "t", "rt", ["payload"])
+    assert b.first().payload == 100  # latest at-or-before t=5 is rt=3
+    assert f.first().payload == 200  # earliest at-or-after t=5 is rt=7
+
+
+def test_decode_stub_seam():
+    raw = FAKE_IMAGE_MAGIC + (640).to_bytes(2, "big") + (480).to_bytes(2, "big")
+    assert decode_image_stub(raw) == (640, 480)
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
