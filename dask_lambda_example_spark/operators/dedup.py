@@ -14,11 +14,11 @@ Design notes (100 TB posture):
   inverted-index join (token → docs) or an LSH band join (band value →
   docs), both ordinary equi-joins Catalyst executes as shuffled hash
   joins, then only the candidate pairs are exactly verified.
-- The MinHash signatures use seeded md5-derived 32-bit hashes, NOT
-  Spark-specific xxhash64, so the DuckDB oracle can run the *identical*
-  pipeline: both sides agree bit-for-bit including any LSH false
-  negatives — the full probabilistic path is oracle-gated, not
-  rows-only.
+- The MinHash signatures use a universal hash family over md5-derived
+  32-bit hashes (gᵢ = (h1 + i·h2) mod 2³²), NOT Spark-specific
+  xxhash64, so the DuckDB oracle can run the *identical* pipeline:
+  both sides agree bit-for-bit including any LSH false negatives —
+  the full probabilistic path is oracle-gated, not rows-only.
 - Tokenization is a plain single-space split everywhere (documents.text
   is space-separated word soup), keeping Spark/DuckDB parity trivial.
 """
