@@ -338,3 +338,63 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.levenshtein(F.col("s_name"), F.lit("Supplier#1")).alias("dist"),
     )
+
+
+@query(
+    "fn_bitwise_battery",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                AS band,
+           event_id | 4096               AS bor,
+           xor(event_id, 1365)           AS bxor,
+           event_id << 3                 AS shl,
+           event_id >> 2                 AS shr,
+           CAST(~event_id AS BIGINT)     AS bnot
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator battery (&, |, xor, shifts, complement) — exact
+    integer ops, codegen'd."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    i = F.col("event_id")
+    return e.select(
+        "event_id",
+        i.bitwiseAND(F.lit(255)).alias("band"),
+        i.bitwiseOR(F.lit(4096)).alias("bor"),
+        i.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(i, 3).alias("shl"),
+        F.shiftright(i, 2).alias("shr"),
+        F.bitwise_not(i).alias("bnot"),
+    )
+
+
+@query(
+    "fn_trig_battery",
+    oracle="""
+    SELECT event_id,
+           round(sin(value), 6)            AS s,
+           round(cos(value), 6)            AS c,
+           round(atan2(value, 2.0), 6)     AS a2,
+           round(degrees(value), 6)        AS deg,
+           round(radians(value), 6)        AS rad,
+           round(tan(value), 6)            AS t,
+           round(atan(value), 6)           AS at
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_trig_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric battery — libm doubles agree across
+    engines well inside the round-6 tolerance."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(F.sin(v), 6).alias("s"),
+        F.round(F.cos(v), 6).alias("c"),
+        F.round(F.atan2(v, F.lit(2.0)), 6).alias("a2"),
+        F.round(F.degrees(v), 6).alias("deg"),
+        F.round(F.radians(v), 6).alias("rad"),
+        F.round(F.tan(v), 6).alias("t"),
+        F.round(F.atan(v), 6).alias("at"),
+    )
