@@ -37,6 +37,22 @@ def _dir(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def _jdbc_opts() -> dict:
+    """Embedded-Derby JDBC endpoint (the Spark distribution ships the
+    Derby driver jars for its metastore, so this needs no install).
+
+    The database path is per-process: Derby's embedded engine holds a
+    JVM-wide boot lock on the db directory, so two concurrent test
+    processes must not share one. /tmp cleanup is the container's.
+    """
+    db = os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
+                      f"pid_{os.getpid()}", "db")
+    return {
+        "url": f"jdbc:derby:{db};create=true",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+
+
 @query(
     "fmt_csv_roundtrip",
     oracle="""
@@ -136,6 +152,46 @@ def fmt_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         back.groupBy("user_id")
         .agg(F.count("*").alias("n_views"),
              F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@query(
+    "fmt_jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def fmt_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink → JDBC scan (``dd.read_sql_table`` / ``spark.read.jdbc``,
+    SURVEY.md §2.B scans) against embedded Derby.
+
+    The read-back is a *partitioned* JDBC scan — ``partitionColumn`` +
+    ``numPartitions`` split the key range into 4 concurrent queries.
+    That is the only JDBC shape that survives scale: an unpartitioned
+    JDBC read is one task pulling the whole table through one
+    connection. (The write side coalesces to 1 because embedded Derby
+    is single-writer; a server-grade RDBMS would take the default
+    per-partition parallel INSERT path.)
+    """
+    opts = _jdbc_opts()
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    (o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+     .coalesce(1).write.mode("overwrite").format("jdbc")
+     .options(dbtable="orders_t", **opts).save())
+    back = (
+        spark.read.format("jdbc")
+        .options(dbtable="orders_t", partitionColumn="o_orderkey",
+                 lowerBound=0, upperBound=2000, numPartitions=4, **opts)
+        .load()
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 6).alias("total"))
     )
 
 
