@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.setops  # noqa: F401
     import dask_lambda_example_spark.operators.subqueries  # noqa: F401
     import dask_lambda_example_spark.operators.tpch_extra  # noqa: F401
+    import dask_lambda_example_spark.operators.tpch_extra2  # noqa: F401
     import dask_lambda_example_spark.operators.skew  # noqa: F401
     import dask_lambda_example_spark.operators.events_analytics  # noqa: F401
     import dask_lambda_example_spark.operators.dedup  # noqa: F401
