@@ -328,3 +328,153 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 6).alias("totacctbal"))
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year — a six-way snowflake
+    join with a symmetric nation-pair disjunction. Both nation legs
+    pre-filter to the two named nations BEFORE joining (the pair
+    disjunction then only rejects the two same-nation combinations),
+    so supplier and customer shrink at their dim joins and only
+    pair-relevant fact rows survive to the orderkey join. All dims
+    broadcast; the single shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    cn = n.select(F.col("n_nationkey").alias("cnk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT l_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (SELECT year(o.o_orderdate) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+          JOIN region r   ON r.r_regionkey = cn.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'EUROPE'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+    GROUP BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's import volume by
+    year — a seven-way join where the numerator is a CASE inside the
+    same aggregate as the denominator (one pass, no self-join).
+    Region→nation→customer prunes the demand side before the fact
+    join; supplier nation rides along only as a CASE input. Share-of
+    division happens on the two-sided sums, after aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"),
+                  F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("l_year"))
+        .agg(F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * 0.6 * l.l_quantity), 6) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year (no partsupp here, so supply cost is modeled as 60% of
+    p_retailprice). The LIKE filter prunes part FIRST and the
+    broadcast part⋈lineitem join then discards ~90% of the fact before
+    the orderkey shuffle — join order is the whole game at 100 TB;
+    Catalyst keeps the dim joins broadcast and the profit expression
+    whole-stage-codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation"))
+    o = load_table(spark, sf_dir, "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.6 * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 6).alias("profit"))
+    )
