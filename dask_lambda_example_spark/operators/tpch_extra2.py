@@ -478,3 +478,46 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 6).alias("profit"))
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH partval AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(val, 6) AS total_value
+    FROM partval
+    WHERE val > (SELECT 0.001 * sum(val) FROM partval)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value from a nation group exceeds a
+    fraction of the group's total — a HAVING gated by a scalar over
+    the SAME derived aggregate (lineitem value stands in for
+    partsupp). Like q15 the aggregate is built once and consumed
+    twice: per-part rows on one side, their one-row global sum
+    broadcast on the other. The nation filter broadcast-prunes
+    supplier, then lineitem, before any shuffle; the only wide
+    exchange is the partkey aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
+    s = load_table(spark, sf_dir, "supplier")
+    partval = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("val")))
+    thresh = partval.agg((0.001 * F.sum("val")).alias("thresh"))
+    return (
+        partval.join(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("thresh"))
+        .select("l_partkey", F.round("val", 6).alias("total_value"))
+    )
