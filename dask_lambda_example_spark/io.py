@@ -26,6 +26,53 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable SQL confs every query needs regardless of which
+# SparkSession it runs in. The verification driver (and any real user of
+# this library) constructs its own bare session without session.py's
+# builder confs — round 1 proved the events table is unreadable there
+# (parquet TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL without nanosAsLong)
+# and timestamp semantics drift without a pinned UTC session timezone.
+# All four are dynamic SQLConf entries, so we set them defensively at
+# query entry instead of relying on the builder.
+_PORTABLE_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+    # timestamp type — scan as long, convert in load_table (ns → µs
+    # truncation, matching DuckDB on the same file).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the reference computes in naive UTC throughout
+    # (layer/python/dask_processing.py:29); DuckDB compares in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate re-evaluates expensive generator inputs
+    # (measured 7-10× on shingle/explode pipelines — see session.py).
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # full PushedFilters/ReadSchema in plan strings for plan-contract
+    # checks (default 100 chars truncates them)
+    "spark.sql.maxMetadataStringLength": "2000",
+}
+
+
+def ensure_portable_session(spark: SparkSession) -> SparkSession:
+    """Set the dynamic confs every query depends on, idempotently.
+
+    Safe to call on any session (including one that already has the
+    values); memoized on the session object so repeated query dispatch
+    costs nothing. Failures are swallowed per-conf so a future
+    Spark-Connect session that forbids one key still gets the rest.
+    """
+    if getattr(spark, "_spark_graft_portable", False):
+        return spark
+    for k, v in _PORTABLE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf rejected by session
+            pass
+    try:
+        spark._spark_graft_portable = True
+    except Exception:  # pragma: no cover - session forbids attributes
+        pass
+    return spark
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                parallel: bool = False) -> DataFrame:
@@ -44,6 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     partition. At real scale the source has many splits and this
     becomes a cheap (or unnecessary) rebalance.
     """
+    ensure_portable_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

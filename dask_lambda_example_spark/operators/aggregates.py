@@ -66,23 +66,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                          AS n,
            round(min(o_totalprice), 6)       AS min_total,
            round(max(o_totalprice), 6)       AS max_total,
-           round(stddev_samp(o_totalprice), 6) AS sd_total,
-           round(var_samp(o_totalprice), 6)  AS var_total,
-           round(stddev_pop(o_totalprice), 6) AS sdp_total
+           CAST(stddev_samp(o_totalprice) AS REAL) AS sd_total,
+           CAST(var_samp(o_totalprice) AS REAL)  AS var_total,
+           CAST(stddev_pop(o_totalprice) AS REAL) AS sdp_total
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max/count/std/var per group — dask ``groupby().agg({col:
-    [fns]})``; sample-vs-population std made explicit (A7 pitfall)."""
+    [fns]})``; sample-vs-population std made explicit (A7 pitfall).
+
+    Oracle-parity note: variance-family outputs are magnitude ~1e10, so
+    summation-order noise (~1e-15 relative) is ~1e-5 ABSOLUTE — no fixed
+    decimal rounding can absorb it. Both sides cast to float32 instead:
+    truncating the mantissa to 24 bits maps both 1-ulp-apart doubles to
+    the same value (relative precision, which is what std/var need).
+    min/max are exact input values, so round(6) is parity-safe there."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.round(F.min("o_totalprice"), 6).alias("min_total"),
         F.round(F.max("o_totalprice"), 6).alias("max_total"),
-        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_total"),
-        F.round(F.var_samp("o_totalprice"), 6).alias("var_total"),
-        F.round(F.stddev_pop("o_totalprice"), 6).alias("sdp_total"),
+        F.stddev_samp("o_totalprice").cast("float").alias("sd_total"),
+        F.var_samp("o_totalprice").cast("float").alias("var_total"),
+        F.stddev_pop("o_totalprice").cast("float").alias("sdp_total"),
     )
 
 

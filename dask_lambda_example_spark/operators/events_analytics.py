@@ -38,8 +38,9 @@ SESSION_GAP_MIN = 360  # 6 hours
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                    AS BIGINT) AS session_id
         FROM flagged)
     SELECT user_id, session_id,
            count(*) AS n_events,
@@ -88,12 +89,13 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
         FROM events GROUP BY user_id)
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS step_click,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                          AND t_buy > t_click
-                    THEN 1 ELSE 0 END) AS step_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
     FROM per_user
     """,
 )

@@ -121,20 +121,24 @@ def fn_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6)           AS abs_d,
-           floor(l_quantity)                          AS qty_floor,
-           ceil(l_extendedprice / 1000)               AS price_k,
+           CAST(floor(l_quantity) AS BIGINT)          AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
            round(sqrt(l_quantity), 6)                 AS qty_sqrt,
            round(exp(l_discount), 6)                  AS disc_exp,
            round(ln(l_extendedprice), 6)              AS price_ln,
            round(pow(l_tax + 1, 2), 6)                AS tax_sq,
            round(l_extendedprice % 97, 6)             AS price_mod,
-           sign(l_discount - 0.05)                    AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE)    AS disc_sign
     FROM lineitem WHERE l_orderkey < 300
     """,
 )
 def fn_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-ufunc surface → JVM math built-ins (round(6) absorbs
-    last-ulp libm differences between JVM and C implementations)."""
+    last-ulp libm differences between JVM and C implementations).
+
+    Oracle-parity note: the SQL casts DuckDB's floor/ceil (DOUBLE) to
+    BIGINT and sign (TINYINT) to DOUBLE to match Spark's return types —
+    the driver's value hash distinguishes int64 23 from float64 23.0."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -264,25 +268,34 @@ def fn_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' '))                               AS n_tokens,
            list_contains(string_split(text, ' '), 'join')             AS has_join,
-           string_split(text, ' ')[1:3]                               AS first3,
-           list_transform(string_split(text, ' ')[1:3], x -> upper(x)) AS first3_uc,
-           list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS char_sum
+           array_to_string(string_split(text, ' ')[1:3], ',')         AS first3,
+           array_to_string(
+             list_transform(string_split(text, ' ')[1:3], x -> upper(x)),
+             ',')                                                     AS first3_uc,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS BIGINT) AS char_sum
     FROM documents WHERE doc_id < 50
     """,
 )
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (Spark superset over dask's
     object-dtype lists): transform / slice / contains / aggregate —
-    codegen-friendly, no UDF."""
+    codegen-friendly, no UDF.
+
+    Oracle-parity note: array-typed output columns are joined to strings
+    on both sides (array_join / array_to_string) — the driver's value
+    hasher factorizes via pandas and cannot hash list values."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("first3_uc"),
-        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)),
+                     ",").alias("first3_uc"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                    F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("char_sum"),
     )
 

@@ -71,14 +71,22 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WAREHOUSE_TABLES_READY: set[str] = set()
+# keyed by (session id, sf_dir): the catalog is per-session, so a table
+# created in one session is invisible to another in the same process
+_WAREHOUSE_TABLES_READY: set[tuple[int, str]] = set()
+
+# explicit external-table location, independent of the session's
+# spark.sql.warehouse.dir (a bare driver session leaves that unset →
+# cwd-relative spark-warehouse, possibly read-only; and it is a STATIC
+# conf, not settable at query time)
+_BUCKET_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
 
 
 @query(
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderstatus, count(*) AS n_lines,
-           round(sum(l.l_extendedprice), 6) AS total
+           CAST(sum(l.l_extendedprice) AS REAL) AS total
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -95,30 +103,35 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``hint("merge")`` keeps the demo on the SMJ path — a broadcast
     would also be exchange-free here but proves nothing about layout.)
     """
-    if sf_dir not in _WAREHOUSE_TABLES_READY:
-        # a previous process may have left the managed locations behind
+    memo_key = (id(spark), sf_dir)
+    if memo_key not in _WAREHOUSE_TABLES_READY:
+        # a previous process may have left the external locations behind
         # without catalog entries — overwrite can't reclaim those
         import shutil
 
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         for tbl in ("orders_bkt", "lineitem_bkt"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            loc = os.path.join(warehouse.removeprefix("file:"), tbl)
-            shutil.rmtree(loc, ignore_errors=True)
+            shutil.rmtree(os.path.join(_BUCKET_DIR, tbl), ignore_errors=True)
         o = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")
         (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-         .sortBy("o_orderkey").saveAsTable("orders_bkt"))
+         .sortBy("o_orderkey")
+         .option("path", os.path.join(_BUCKET_DIR, "orders_bkt"))
+         .saveAsTable("orders_bkt"))
         (li.select("l_orderkey", "l_extendedprice")
          .write.mode("overwrite").bucketBy(8, "l_orderkey")
-         .sortBy("l_orderkey").saveAsTable("lineitem_bkt"))
-        _WAREHOUSE_TABLES_READY.add(sf_dir)
+         .sortBy("l_orderkey")
+         .option("path", os.path.join(_BUCKET_DIR, "lineitem_bkt"))
+         .saveAsTable("lineitem_bkt"))
+        _WAREHOUSE_TABLES_READY.add(memo_key)
 
     ob = spark.table("orders_bkt")
     lb = spark.table("lineitem_bkt")
     return (
         ob.join(lb.hint("merge"), lb.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderstatus")
+        # float32 on both sides: the sum is magnitude ~1e9, where
+        # summation-order noise exceeds 6-decimal rounding granularity
         .agg(F.count("*").alias("n_lines"),
-             F.round(F.sum("l_extendedprice"), 6).alias("total"))
+             F.sum("l_extendedprice").cast("float").alias("total"))
     )

@@ -249,11 +249,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar, known at plan time
+    # corpus size as a broadcast one-row aggregate, not a driver-side
+    # .count() — keeps the whole query a single job (no extra pass over
+    # the table before the plan can even be built)
+    n = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term",
-                (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                (F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")))
                 .alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))

@@ -71,10 +71,10 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_classes",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01'
@@ -520,4 +520,132 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         partval.join(F.broadcast(thresh))
         .filter(F.col("val") > F.col("thresh"))
         .select("l_partkey", F.round("val", 6).alias("total_value"))
+    )
+
+
+# Q2/Q20 need partsupp, which this schema lacks; both analogs derive the
+# supply relationship from lineitem instead: supplier s "supplies" part p
+# iff some lineitem carries (p, s), with unit cost = min observed
+# extendedprice/quantity (Q2) and "available quantity" = all-time shipped
+# quantity (Q20). Same plan shapes as the originals — correlated scalar
+# MIN per part, and a nested IN/EXISTS chain gated by a per-(p,s) scalar.
+
+_PS_EU_NATIONS = ("EUROPE",)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ps_eu AS (
+      SELECT ps.l_partkey, ps.unit_cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey)
+    SELECT p.p_partkey, p.p_name, x.s_name, x.n_name,
+           round(x.unit_cost, 6) AS min_cost,
+           round(x.s_acctbal, 6) AS acctbal
+    FROM ps_eu x
+    JOIN part p ON p.p_partkey = x.l_partkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+      AND x.unit_cost = (SELECT min(y.unit_cost) FROM ps_eu y
+                         WHERE y.l_partkey = x.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each ECONOMY small part, the European
+    supplier(s) offering the minimum unit cost — a correlated scalar
+    MIN decorrelated into an aggregate-and-join-back on the part key.
+
+    Plan: ONE wide shuffle (the (partkey, suppkey) supply aggregation
+    over lineitem); region→nation→supplier prune by broadcast before
+    touching the aggregate; the per-part minimum is a tiny derived
+    aggregate that broadcasts back onto the supply rows, and the part
+    dim broadcasts last. Unit costs are IEEE division of identical
+    inputs on both engines, so the min-equality join is parity-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15))
+
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("unit_cost")))
+    eu = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                    n.n_regionkey == r.r_regionkey)),
+                 s.s_nationkey == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+    min_per_part = (ps_eu.groupBy("l_partkey")
+                    .agg(F.min("unit_cost").alias("min_cost_raw")))
+    return (
+        ps_eu.join(F.broadcast(min_per_part), "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost_raw"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.round("unit_cost", 6).alias("min_cost"),
+                F.round("s_acctbal", 6).alias("acctbal"))
+    )
+
+
+@query(
+    "q20_excess_inventory",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS availqty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                 THEN l_quantity ELSE 0 END) AS yr_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_name, round(s.s_acctbal, 6) AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4')
+      AND EXISTS (SELECT 1 FROM ps
+                  JOIN part p ON p.p_partkey = ps.l_partkey
+                  WHERE ps.l_suppkey = s.s_suppkey
+                    AND p.p_name LIKE '%widget%'
+                    AND ps.availqty > 0.5 * ps.yr_qty
+                    AND ps.yr_qty > 0)
+    """,
+)
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation holding "excess" supply
+    of widget parts — all-time shipped quantity exceeding half of the
+    1997 shipped quantity for that (part, supplier). The original's
+    nested IN chain with a correlated scalar sum collapses into ONE
+    conditional aggregation over lineitem (total + year-sliced sums in
+    the same pass — no second scan, no aggregate-to-aggregate join),
+    then a broadcast part filter and a left-semi probe into the tiny
+    nation-filtered supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4"))
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+
+    in_year = ((F.col("l_shipdate") >= "1997-01-01")
+               & (F.col("l_shipdate") < "1998-01-01"))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("availqty"),
+               F.sum(F.when(in_year, F.col("l_quantity")).otherwise(0.0))
+               .alias("yr_qty")))
+    excess = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+              .filter((F.col("availqty") > 0.5 * F.col("yr_qty"))
+                      & (F.col("yr_qty") > 0)))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 6).alias("acctbal"))
     )

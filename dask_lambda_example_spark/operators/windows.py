@@ -85,6 +85,68 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rank_distributed_twophase",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def win_rank_distributed_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe ranking over a LOW-CARDINALITY partition key.
+
+    ``win_rank_dense_ntile`` expresses the same semantics with a plain
+    window, which sorts the entire table through 3 partitions (one per
+    l_returnflag) — a parallelism ceiling that becomes the bottleneck at
+    100 TB. Rank/dense_rank/percent_rank/cume_dist are DISTRIBUTIVE over
+    the count histogram of the order key, so this variant:
+
+    1. aggregates counts per (l_returnflag, l_quantity) — a normal
+       parallel shuffle, no ordering;
+    2. ranks the tiny histogram (~|flags| × |distinct quantities| rows)
+       with a window — negligible data through the serial path;
+    3. broadcast-joins the per-value rank columns back onto the fact.
+
+    rank = cumulative count of smaller values + 1; dense_rank = position
+    in the distinct-value list; percent_rank = (rank-1)/(n-1);
+    cume_dist = cumulative count / n. The fact table is never sorted and
+    never leaves its scan partitioning.
+
+    Cardinality contract: the ORDER-key domain per group must be small
+    enough to broadcast (here l_quantity has ≤50 distinct values);
+    that's exactly the regime where the naive window's 3-partition sort
+    hurts most. ntile is intentionally absent — it is position-based,
+    not value-based, so it does not distribute this way."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt"))
+    wq = (W.partitionBy("l_returnflag").orderBy("l_quantity")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("l_returnflag")
+    ranked = (
+        hist
+        .withColumn("cum", F.sum("cnt").over(wq))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("rnk", F.col("cum") - F.col("cnt") + 1)
+        .withColumn("drnk", F.row_number().over(
+            W.partitionBy("l_returnflag").orderBy("l_quantity")))
+        .withColumn("prank", F.round(
+            (F.col("rnk") - 1) / (F.col("n") - 1), 6))
+        .withColumn("cdist", F.round(F.col("cum") / F.col("n"), 6))
+        .select("l_returnflag", "l_quantity", "rnk", "drnk", "prank", "cdist")
+    )
+    return (
+        li.join(F.broadcast(ranked), ["l_returnflag", "l_quantity"])
+        .select("l_orderkey", "l_linenumber", "rnk", "drnk", "prank", "cdist")
+    )
+
+
+@query(
     "win_lag_lead_diff",
     oracle="""
     SELECT user_id, event_id,

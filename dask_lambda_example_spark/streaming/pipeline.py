@@ -66,6 +66,34 @@ def run_available_now(df: DataFrame, table: str,
     q.awaitTermination()
 
 
+def run_processing_time(df: DataFrame, table: str, cadence: str,
+                        output_mode: str = "complete"):
+    """Continuous-cadence execution (A20): the reference's producer runs
+    on a one-minute EventBridge rate (``app.py:131-134``) and its
+    consumer fires per arriving file; Spark's single-process analog is
+    ``Trigger.ProcessingTime`` — poll the source every ``cadence`` and
+    process whatever arrived. Returns the running StreamingQuery; the
+    caller owns ``stop()``."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pt_")
+    return (df.writeStream.outputMode(output_mode)
+            .format("memory").queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=cadence)
+            .start())
+
+
+def producer_counts_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming file-source scan of the producer's hive-partitioned
+    JSON layout (``src/lambda_producer.py:22-27``) — new files under
+    ``year=…/…/second=…`` are discovered on every trigger tick, the
+    event-driven consumer analog (``app.py:174-175``)."""
+    from dask_lambda_example_spark.sources.producer import PAYLOAD_SCHEMA
+
+    return (spark.readStream.schema(PAYLOAD_SCHEMA)
+            .option("basePath", path)
+            .json(f"{path}/year=*/month=*/day=*/hour=*/minute=*/second=*"))
+
+
 @query(
     "stream_tumbling_counts",
     oracle="""

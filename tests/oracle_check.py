@@ -1,6 +1,13 @@
 """Order-insensitive Spark-vs-DuckDB comparison, modeled on the driver's
 correctness gate (row count + column names + value hash with columns
-sorted by name)."""
+sorted by name).
+
+Strictness contract (round-2 tightening): the driver hashes RAW values
+after a pandas conversion — bit-exact floats, int64 23 distinct from
+float64 23.0, lists unhashable. ``_norm`` therefore uses shortest-
+roundtrip ``repr`` for floats (bit-exact) and type-prefixes every value
+so cross-type coincidences (bool vs int, int vs float) fail locally the
+way they would fail at the driver."""
 
 from __future__ import annotations
 
@@ -12,23 +19,30 @@ from decimal import Decimal
 def _norm(v):
     if v is None:
         return "<NULL>"
+    # bool before int: bool is an int subclass
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / 0.0 and format stably
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "f:NaN"
+        if v == 0:  # collapse -0.0 / 0.0 (pandas equality treats them equal)
+            return "f:0.0"
+        return f"f:{v!r}"  # shortest roundtrip — bit-exact
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, Decimal):
-        return f"{float(v):.9g}"
+        # driver-side pandas turns DuckDB DECIMAL into float64; Spark
+        # DecimalType stays Decimal — hash parity between them is not
+        # guaranteed, so flag by normalizing at float bit-precision
+        return f"f:{float(v)!r}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
+        # the driver's hasher CRASHES on list cells — keep local compare
+        # functional for debugging, but parity_sweep flags these
         return "[" + ",".join(_norm(x) for x in v) + "]"
-    if isinstance(v, bool):
-        return str(int(v))
     return str(v)
 
 

@@ -59,6 +59,50 @@ def test_streaming_file_source_matches_batch(spark, sf_dir):
     assert got["n"] == batch.count()
 
 
+def test_processing_time_trigger_two_ticks(spark):
+    """A20: ``Trigger.ProcessingTime`` cadence over the producer layout
+    — files written BEFORE and DURING the run are both picked up by
+    later ticks (the reference's 1-minute producer/consumer cadence,
+    app.py:131-134, compressed to 500 ms for test time). Deterministic:
+    the assertion waits on exact row counts, not on sleeps."""
+    import time
+
+    from dask_lambda_example_spark.sources.producer import producer_payloads
+    from dask_lambda_example_spark.streaming.pipeline import (
+        producer_counts_stream,
+        run_processing_time,
+    )
+
+    path = tempfile.mkdtemp(prefix="producer_pt_")
+    write_producer_layout(spark, path, n_files=10)
+    agg = (producer_counts_stream(spark, path)
+           .groupBy().agg(F.count("*").alias("n"), F.sum("count").alias("s")))
+    q = run_processing_time(agg, "t_pt_counts", "500 milliseconds")
+    try:
+        def wait_for(n, deadline_s=60):
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                row = spark.table("t_pt_counts").first()
+                if row is not None and row["n"] == n:
+                    return row
+                time.sleep(0.25)
+            raise AssertionError(
+                f"stream never reached n={n}; last={spark.table('t_pt_counts').first()}")
+
+        wait_for(10)  # tick(s) consumed the initial files
+        # second wave arrives while the query keeps running — the next
+        # tick must discover the new partition directories
+        (producer_payloads(spark, 20)
+         .filter(F.col("minute") >= 10).repartition(1)
+         .write.mode("append").partitionBy(
+             "year", "month", "day", "hour", "minute", "second").json(path))
+        row = wait_for(20)
+        expected = sum(r["count"] for r in producer_payloads(spark, 20).collect())
+        assert row["s"] == expected
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_sink(spark, sf_dir):
     """foreachBatch parquet sink writes the aggregated micro-batch."""
     out = tempfile.mkdtemp(prefix="fb_out_") + "/data"
