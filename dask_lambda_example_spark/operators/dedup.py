@@ -546,3 +546,74 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source",
                 F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document chunk-level exact dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 10
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / {CHUNK_WORDS}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                      toks[i*{CHUNK_WORDS}+1 : i*{CHUNK_WORDS}+{CHUNK_WORDS}],
+                      ' '))) AS chunk
+      FROM t),
+    marked AS (
+      SELECT doc_id, chunk,
+             count(*) OVER (PARTITION BY chunk) AS c
+      FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split every document into fixed 10-word
+    chunks and measure, per document, how much of it is duplicated
+    ANYWHERE in the corpus — the chunk/passage-level pass that document-
+    level exact dedup misses (boilerplate, quoted passages, templated
+    spans; the MassiveText/RefinedWeb-style repetition removal shape,
+    with fixed windows standing in for suffix-array spans).
+
+    Plan: one explode (docs → chunks), ONE shuffle keyed on the chunk
+    text for the corpus-wide occurrence count (window over the chunk
+    key — high-cardinality partitioning, no ordering), then a per-doc
+    rollup. No candidate pair ever forms, so nothing is O(n²); chunk
+    keys could be hashed (md5) to bound shuffle width at scale — kept
+    as raw text here so the oracle comparison covers the exact strings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n_chunks_expr = F.ceil(F.size(F.col("toks")) / float(CHUNK_WORDS))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks_expr - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * CHUNK_WORDS + 1, CHUNK_WORDS),
+                    " "),
+            )
+        ).alias("chunk"),
+    )
+    marked = chunks.withColumn(
+        "c", F.count("*").over(Window.partitionBy("chunk")))
+    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(dup).alias("n_dup_chunks"),
+             F.round(F.sum(dup) * 1.0 / F.count("*"), 6).alias("dup_frac"))
+    )

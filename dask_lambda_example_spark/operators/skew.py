@@ -78,8 +78,11 @@ _WAREHOUSE_TABLES_READY: set[tuple[int, str]] = set()
 # explicit external-table location, independent of the session's
 # spark.sql.warehouse.dir (a bare driver session leaves that unset →
 # cwd-relative spark-warehouse, possibly read-only; and it is a STATIC
-# conf, not settable at query time)
-_BUCKET_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
+# conf, not settable at query time). Per-PID so a concurrent process
+# (e.g. a subprocess harness) can't rmtree files a session in THIS
+# process has already listed in its cached table relation.
+_BUCKET_DIR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_warehouse_{os.getpid()}")
 
 
 @query(

@@ -213,6 +213,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition / diversity filter (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+REP_MIN_TOKENS = 30
+REP_MIN_DISTINCT_RATIO = 0.45
+REP_MAX_DUP_BIGRAM = 0.08
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS nc_nospace
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+               AS distinct_ratio,
+             round(nc_nospace * 1.0 / len(toks), 6) AS mean_word_len,
+             CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+               round(1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]))) * 1.0
+                     / (len(toks) - 1), 6)
+             END AS dup_bigram_frac
+      FROM t)
+    SELECT doc_id, n_tokens, distinct_ratio, mean_word_len, dup_bigram_frac,
+           (n_tokens >= {REP_MIN_TOKENS}
+            AND distinct_ratio > {REP_MIN_DISTINCT_RATIO}
+            AND dup_bigram_frac < {REP_MAX_DUP_BIGRAM}) AS keep
+    FROM m
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality rules (the Gopher-rules shape:
+    document-level duplicate-n-gram fraction and lexical diversity
+    gates, plus a length floor). Everything is array expressions over
+    one projection — per-document, shuffle-free, linear at any corpus
+    size; the bigram list is built with zip_with over two slices of the
+    SAME materialized token array (never re-splitting inside the HOF
+    lambda — Catalyst re-evaluates lambda-captured expressions per
+    element)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .alias("nc_nospace"),
+    )
+    n = F.size(F.col("toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    m = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(F.col("toks"))) * 1.0 / n, 6)
+        .alias("distinct_ratio"),
+        F.round(F.col("nc_nospace") * 1.0 / n, 6).alias("mean_word_len"),
+        F.when(n < 2, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(bigrams)) * 1.0 / (n - 1), 6)
+        ).alias("dup_bigram_frac"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("n_tokens") >= REP_MIN_TOKENS)
+        & (F.col("distinct_ratio") > REP_MIN_DISTINCT_RATIO)
+        & (F.col("dup_bigram_frac") < REP_MAX_DUP_BIGRAM))
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 
@@ -296,4 +370,130 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("doc_id").alias("n_docs"))
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction pipeline)
+# ---------------------------------------------------------------------------
+
+# the corpus is synthetic word soup with no embedded PII, so the query
+# first plants deterministic PII-shaped spans (email / phone / IPv4
+# derived from doc_id), then redacts them — the operator under test is
+# the redaction pipeline itself, with injection making it verifiable
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+IPV4_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or ' ||
+             '555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}'))  AS n_emails,
+             len(regexp_extract_all(text, '{PHONE_RE}'))  AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g') AS clean
+      FROM dirty)
+    SELECT doc_id, n_emails, n_phones, clean,
+           NOT regexp_matches(clean, '{EMAIL_RE}|{PHONE_RE}|{IPV4_RE}')
+             AS is_clean
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email / phone / IPv4 spans with
+    typed placeholder tokens — the scrub pass every training-data
+    pipeline runs before tokenization. Pure projection (regexp_count +
+    chained regexp_replace, all JVM codegen — no UDF), so it is
+    shuffle-free and linear at any corpus size; the verification flag
+    re-scans the cleaned text for any surviving match.
+
+    Note DuckDB replaces only the first match unless given the 'g'
+    flag; Spark's regexp_replace is global by default — the oracle
+    carries the flag so both sides scrub every occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IPV4_RE, "<IP>")
+    any_pii = f"{EMAIL_RE}|{PHONE_RE}|{IPV4_RE}"
+    return dirty.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phones"),
+        clean.alias("clean"),
+        (~clean.rlike(any_pii)).alias("is_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics (Zipf / type-token)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_zipf",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tf)
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+             AS top10_coverage
+    FROM ranked
+    """,
+)
+def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: total tokens, distinct types,
+    type-token ratio, hapax legomena count, and how much of the corpus
+    the 10 most frequent terms cover (the Zipf-head mass — the signal
+    behind stopword lists and vocabulary truncation decisions).
+
+    Plan: explode → ONE term-keyed aggregation (map-side combine
+    collapses each partition to vocabulary size before the shuffle);
+    the ranked head is a window over the vocabulary-sized aggregate,
+    never over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("c"))
+    ranked = tf.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("term"))))
+    return ranked.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") * 1.0 / F.sum("c"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.sum(F.when(F.col("r") <= 10, F.col("c")).otherwise(0))
+                * 1.0 / F.sum("c"), 6).alias("top10_coverage"),
     )

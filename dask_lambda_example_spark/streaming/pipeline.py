@@ -311,6 +311,40 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 6) AS sum_v
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the arriving event stream enriched against a
+    batch dimension table (the reference's consumer reads a static
+    config/catalog beside the event payload — the same shape). The
+    static side is broadcast, so each micro-batch joins map-side with
+    no stream-side shuffle and no state: stream–static equi-joins are
+    STATELESS in Structured Streaming (only stream–stream joins buffer
+    rows), which is what keeps this safe at any stream rate. Complete-
+    mode aggregation over the static input equals the batch join the
+    oracle runs."""
+    from dask_lambda_example_spark.io import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+    )
+    table = _mem_table("stream_static_join")
+    run_available_now(joined, table)
+    return spark.table(table)
+
+
 @query("stream_rate_source_smoke")  # wall-clock-driven source → rows-only
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``rate`` source — streaming analog of the synthetic
