@@ -617,3 +617,115 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(dup).alias("n_dup_chunks"),
              F.round(F.sum(dup) * 1.0 / F.count("*"), 6).alias("dup_frac"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster connected components + canonical selection
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.node),
+    cc AS (SELECT node AS doc_id, min(label) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM cc c
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM cc GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over the
+    near-dup pair graph (word-3-gram Jaccard ≥ 0.5 edges, the
+    ``dedup_jaccard_pairs`` plan), then canonical selection — every doc
+    gets (cluster_id = min doc_id reachable, cluster size, survivor
+    flag). This is the step that turns PAIRS into DEDUP DECISIONS:
+    transitive near-dups (A~B, B~C but A≁C) must collapse into one
+    cluster with one kept document, which no per-pair operator can do.
+
+    Algorithm: iterative min-label propagation entirely in DataFrame
+    ops — per round, each node takes min(own label, neighbors' labels);
+    converged when the global label sum stops falling (labels only
+    decrease, so the sum is a strict Lyapunov function — one cheap
+    scalar agg per round, no change-join). Rounds = cluster DIAMETER,
+    and near-dup clusters are near-cliques (diameter ~2-3) because
+    Jaccard edges are dense within a duplicate group — so 3-4 rounds in
+    practice, each round one edge-keyed shuffle join + one agg, with
+    ``localCheckpoint`` truncating the lineage so plan size stays
+    constant. For adversarial long-chain graphs the
+    alternating large-star/small-star rewrite (Kiveris et al.,
+    "Connected Components in MapReduce") converges in O(log n) rounds
+    with the same per-round join shape — the contract here is the
+    dedup-cluster one (bounded diameter), asserted by CC_MAX_ITERS.
+
+    The driver-side loop is control flow only (one scalar per round) —
+    all data stays distributed."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # pair generation runs ONCE
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nbr_doc"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == F.col("nbr_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds "
+            "— graph diameter exceeds the dedup-cluster contract")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+    )

@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.skew  # noqa: F401
     import dask_lambda_example_spark.operators.events_analytics  # noqa: F401
     import dask_lambda_example_spark.operators.dedup  # noqa: F401
+    import dask_lambda_example_spark.operators.curation  # noqa: F401
     import dask_lambda_example_spark.operators.similarity  # noqa: F401
     import dask_lambda_example_spark.operators.text  # noqa: F401
     import dask_lambda_example_spark.operators.multimodal  # noqa: F401

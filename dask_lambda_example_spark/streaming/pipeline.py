@@ -312,6 +312,62 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS micros_to_click
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the view stream matched to the same
+    user's click stream within the following hour (attribution-window
+    semantics). Both legs carry a watermark and the join condition
+    carries the time range — that pair is what lets Structured
+    Streaming BOUND the buffered state: a view row can be dropped from
+    the join buffer once the click-side watermark passes view.ts + 1 h,
+    so state is (rate × window), not (rate × job lifetime). Append
+    mode; over a static input the emitted pairs equal the batch join
+    the oracle runs.
+
+    At scale the join shuffles both streams on user_id once per
+    micro-batch and the range predicate prunes inside each key group —
+    the same shape as the batch range join, plus watermark-driven state
+    eviction."""
+    views = (events_stream(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    clicks = (events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    joined = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id", "view_id", "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+            .alias("micros_to_click"),
+        )
+    )
+    table = _mem_table("stream_stream_join")
+    run_available_now(joined, table, output_mode="append")
+    return spark.table(table)
+
+
+@query(
     "stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 6) AS sum_v
