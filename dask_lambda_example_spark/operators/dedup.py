@@ -729,3 +729,58 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("label")).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup within coarse-quantizer cells
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_semdedup_cells",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT a.label AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_cosine_sql('a.emb', 'b.emb')}, 6) AS cos,
+           b.vec_id AS drop_id
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.emb', 'b.emb')} >= {SEM_THRESHOLD}
+    """,
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic duplicates are found by
+    clustering embeddings with a coarse quantizer and comparing pairs
+    ONLY within a cluster — the cells bound the quadratic term, turning
+    all-pairs cosine into an equi-join on the cell id. Here the cell is
+    the ``label`` partitioning (the same stand-in the IVF operators
+    use; a k-means assignment slots in identically). Each qualifying
+    pair emits a drop decision: the higher ``vec_id`` loses, so
+    downstream an ``anti join`` on ``drop_id`` materializes the pruned
+    corpus.
+
+    Scale shape: one shuffle of the embeddings on the cell id, then an
+    in-cell self-join whose cost is Σ|cell|² — controlled by the
+    quantizer's cell count, which at 100 TB you pick so the largest
+    cell fits a task (SemDeDup's own k≈100k rule). Cosine is the
+    in-order ``F.aggregate`` double fold, bit-identical to DuckDB's
+    ``list_dot_product``, so the oracle checks exact pair membership
+    and scores."""
+    from dask_lambda_example_spark.functions.vector import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= SEM_THRESHOLD)
+        .select(F.col("a.label").alias("cell"),
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cos"),
+                F.col("b.vec_id").alias("drop_id"))
+    )

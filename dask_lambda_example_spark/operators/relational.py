@@ -162,3 +162,43 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", F.round("o_totalprice", 6).alias("total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# melt / unpivot (wide → long reshape)
+# ---------------------------------------------------------------------------
+
+MELT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "reshape_melt_unpivot",
+    oracle="\n    UNION ALL\n".join(
+        f"""SELECT l_orderkey, l_linenumber, '{m}' AS metric,
+           {m} AS value FROM lineitem WHERE l_orderkey % 50 = 0"""
+        for m in MELT_METRICS
+    ),
+)
+def reshape_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (dask/pandas ``melt``): the four lineitem
+    measures unpivoted into (id, metric, value) rows via the native
+    ``DataFrame.unpivot`` — Catalyst's Expand node, which emits
+    n_metrics rows per input row in a single projection pass: no
+    shuffle, no join, no UDF, and the row-count multiplier is a
+    constant (4×) independent of data size. The id-key filter pushes
+    down to the scan BELOW the Expand (predicate on an id column, not
+    a melted value), so the scan reads 1/50 of the table.
+
+    Values are passed through untouched (all four measures are already
+    double) — bit parity with the oracle's UNION ALL formulation is
+    exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            list(MELT_METRICS),
+            "metric",
+            "value",
+        )
+    )

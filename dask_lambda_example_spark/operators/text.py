@@ -497,3 +497,68 @@ def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("r") <= 10, F.col("c")).otherwise(0))
                 * 1.0 / F.sum("c"), 6).alias("top10_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model cross-entropy (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+CE_OUTLIER = 3.45  # nats/token; corpus p90 ≈ 3.41 — flags the weird tail
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok),
+    vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    s AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               -avg(ln(v.c * 1.0 / tot.n)) AS ce
+        FROM tok t JOIN vocab v USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(round(ce, 6) AS REAL) AS cross_entropy,
+           ce > {CE_OUTLIER} AS is_outlier
+    FROM s
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-style: a unigram LM is fit
+    on the corpus itself (term → corpus probability) and every document
+    is scored by its per-token cross-entropy under that model —
+    documents whose token distribution diverges from the corpus (spam,
+    boilerplate, wrong-language shards) score high and get flagged.
+    This is the degenerate-but-real version of the KenLM perplexity
+    filter used by CCNet/RedPajama; swapping in real n-gram logprobs
+    changes only the broadcast side, not the plan.
+
+    Plan shape: one (doc, term) explode, the vocabulary aggregate comes
+    back as a BROADCAST join (vocab ≪ corpus), the corpus total as a
+    broadcast one-row aggregate, and the per-doc average is one
+    doc-keyed shuffle with map-side partial agg — two aggregations over
+    the token stream total, no driver-side scalars. Cross-entropy is
+    float32-cast on both sides (avg-of-logs accumulates in
+    engine-specific order; last-ulp noise exceeds 6-decimal rounding at
+    hash strictness)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tot = tok.agg(F.count("*").alias("n"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.avg(F.log(F.col("c") * 1.0 / F.col("n")))).alias("ce"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round("ce", 6).cast("float").alias("cross_entropy"),
+            (F.col("ce") > CE_OUTLIER).alias("is_outlier"),
+        )
+    )

@@ -145,3 +145,29 @@ def test_distributed_rank_matches_window_semantics(spark, sf_dir):
     twophase = QUERIES["win_rank_distributed_twophase"].fn(spark, sf_dir)
     assert naive.exceptAll(twophase).count() == 0
     assert twophase.exceptAll(naive).count() == 0
+
+
+def test_melt_expand_above_pruned_scan(spark, sf_dir):
+    # unpivot must be a single Expand projection pass — no shuffle, no
+    # join — with the id-key filter evaluated below it at the scan
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["reshape_melt_unpivot"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert_wholestage_codegen(df)
+
+
+def test_unigram_lm_vocab_broadcasts(spark, sf_dir):
+    # the vocabulary side table must come back as a broadcast join —
+    # the token stream never shuffles for the probability lookup
+    df = QUERIES["text_unigram_lm_score"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+
+
+def test_semdedup_is_cell_equijoin(spark, sf_dir):
+    # in-cell pair generation must be an equi-join on the cell id,
+    # never a cartesian product
+    df = QUERIES["dedup_semdedup_cells"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
