@@ -194,3 +194,140 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("in_train") & F.col("in_heldout")).cast("int"))
         .alias("n_leaked_contents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hash-based stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (downsample the over-represented strata) —
+# assignment gate is md5(doc_id || salt), independent of the split hash
+STRAT_RATES = {"en": 0.5, "de": 1.0, "es": 0.9, "fr": 0.9, "zh": 0.75}
+STRAT_SALT = ":strat"
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             {HEX32_SQL.format(
+                 x=f"CAST(doc_id AS VARCHAR) || '{STRAT_SALT}'")} % 10000
+               AS h,
+             CASE lang {' '.join(
+                 f"WHEN '{k}' THEN {v}" for k, v in STRAT_RATES.items())}
+             END AS rate
+      FROM documents)
+    SELECT lang, round(rate, 6) AS target_rate,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN h < rate * 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN h < rate * 10000 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS realized_rate
+    FROM t GROUP BY lang, rate
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (rebalancing an
+    over-represented language), decided by a salted content-id hash
+    instead of an RNG: `keep ⇔ md5(doc_id‖salt) mod 10k < rate·10k`.
+    Deterministic across runs AND engines (the oracle replicates the
+    exact gate — something `sampleBy`'s engine-private RNG can never
+    give you), stable under corpus growth, and independent of the
+    train/val/test hash because the salt differs. Output is the
+    per-stratum audit (target vs realized rate).
+
+    The gate is a pure per-row projection — zero shuffle for the
+    sampling itself; the audit is one lang-keyed aggregation. At 100 TB
+    sampling therefore costs a scan, nothing more."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.col("lang")
+    expr = None
+    for k, v in STRAT_RATES.items():
+        expr = (F.when(rate == k, F.lit(v)) if expr is None
+                else expr.when(rate == k, F.lit(v)))
+    h = F.pmod(
+        hex32(F.concat(F.col("doc_id").cast("string"), F.lit(STRAT_SALT))),
+        F.lit(10000))
+    kept = (h < expr * 10000).cast("int")
+    return (
+        d.select("lang", expr.alias("rate"), kept.alias("kept"))
+        .groupBy("lang", "rate")
+        .agg(F.count("*").alias("n_total"),
+             F.sum("kept").alias("n_kept"),
+             F.round(F.sum("kept") * 1.0 / F.count("*"), 6)
+             .alias("realized_rate"))
+        .select("lang", F.round("rate", 6).alias("target_rate"),
+                "n_total", "n_kept", "realized_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture dosage (per-domain epochs for a token budget)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 1_000_000  # target training-mix size in tokens
+
+# domain groups over the source ids, with target mixture weights
+MIX_WEIGHTS = {"web": 0.6, "books": 0.25, "code": 0.15}  # src0-9/10-14/15-19
+
+
+@query(
+    "mix_domain_dosage",
+    oracle=f"""
+    WITH t AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                  ELSE 'code' END AS domain,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    g AS (SELECT domain, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM t GROUP BY domain),
+    w AS (SELECT * FROM (VALUES {', '.join(
+        f"('{k}', CAST({v} AS DOUBLE))" for k, v in MIX_WEIGHTS.items()
+    )}) AS v(domain, weight))
+    SELECT g.domain, g.n_docs, g.n_tokens, round(w.weight, 6) AS weight,
+           CAST(round(w.weight * {TOKEN_BUDGET}) AS BIGINT)
+             AS target_tokens,
+           round(w.weight * {TOKEN_BUDGET} / g.n_tokens, 6) AS epochs,
+           w.weight * {TOKEN_BUDGET} / g.n_tokens > 1.0 AS upsampled
+    FROM g JOIN w ON g.domain = w.domain
+    """,
+)
+def mix_domain_dosage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix dosage planning (the DoReMi/Pile-style mixture
+    step): given target mixture weights per domain and a token budget,
+    compute each domain's required repeat factor — ``epochs =
+    weight·budget / available_tokens`` — and flag domains that must be
+    UPSAMPLED (epochs > 1, i.e. the sampler will repeat documents).
+    This is the table a dataloader consumes to realize a mixture; the
+    weights join is a 3-row broadcast.
+
+    One domain-keyed aggregation over a per-row projection — the same
+    single-shuffle shape at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring(F.col("source"), 4, 10).cast("int")
+    domain = (F.when(srcnum < 10, "web")
+              .when(srcnum < 15, "books")
+              .otherwise("code"))
+    g = (
+        d.select(domain.alias("domain"),
+                 F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+    )
+    w = spark.createDataFrame(
+        [(k, float(v)) for k, v in MIX_WEIGHTS.items()],
+        "domain string, weight double")
+    epochs = F.col("weight") * TOKEN_BUDGET / F.col("n_tokens")
+    return (
+        g.join(F.broadcast(w), "domain")
+        .select("domain", "n_docs", "n_tokens",
+                F.round("weight", 6).alias("weight"),
+                F.round(F.col("weight") * TOKEN_BUDGET)
+                .cast("bigint").alias("target_tokens"),
+                F.round(epochs, 6).alias("epochs"),
+                (epochs > 1.0).alias("upsampled"))
+    )

@@ -431,3 +431,80 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(table)
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT least((SELECT max(view_ts) FROM v),
+                       (SELECT max(click_ts) FROM c)) AS mx)
+    SELECT v.user_id, v.view_id, c.click_id,
+           epoch_us(c.click_ts) - epoch_us(v.view_ts) AS micros_to_click
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ts > v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id,
+           CAST(NULL AS BIGINT) AS click_id,
+           CAST(NULL AS BIGINT) AS micros_to_click
+    FROM v, m
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id
+              AND c.click_ts > v.view_ts
+              AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR)
+      AND v.view_ts + INTERVAL 3 HOUR < m.mx
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view either matches clicks
+    in its attribution hour or is emitted with NULLs — but, unlike the
+    batch left join, the NULL row can only be emitted once the
+    click-side WATERMARK proves no match can still arrive. That
+    state-eviction contract is part of the result: views younger than
+    (max event time − watermark delay − join window) are still
+    buffered when the stream drains and emit nothing. The oracle
+    encodes exactly that — unmatched views qualify only below the
+    `view_ts + 3 h < global watermark base` cutoff (1 h window + 2 h
+    delay), where the base is the MIN of the two streams' max event
+    times (Spark's multiple-watermark policy) — so the check verifies
+    Spark's outer-join eviction semantics, not just the join
+    predicate.
+
+    State per key is bounded by (rate × 3 h) regardless of job
+    lifetime; each micro-batch shuffles both sides on user_id once —
+    the batch range-join shape plus watermark-driven cleanup."""
+    views = (events_stream(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    clicks = (events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    joined = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select(
+            "user_id", "view_id", "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+            .alias("micros_to_click"),
+        )
+    )
+    table = _mem_table("stream_stream_left_outer")
+    run_available_now(joined, table, output_mode="append")
+    return spark.table(table)
