@@ -331,3 +331,100 @@ def mix_domain_dosage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(epochs, 6).alias("epochs"),
                 (epochs > 1.0).alias("upsampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel (composed from the registered operators)
+# ---------------------------------------------------------------------------
+
+from dask_lambda_example_spark.operators.dedup import (  # noqa: E402
+    dedup_exact_hash)
+from dask_lambda_example_spark.operators.text import (  # noqa: E402
+    text_repetition_filter, text_unigram_lm_score)
+from dask_lambda_example_spark.registry import QUERIES  # noqa: E402
+
+
+def _funnel_oracle() -> str:
+    ex = QUERIES["dedup_exact_hash"].oracle
+    rep = QUERIES["text_repetition_filter"].oracle
+    lm = QUERIES["text_unigram_lm_score"].oracle
+    return f"""
+    WITH ex AS ({ex}), rep AS ({rep}), lm AS ({lm}),
+    base AS (
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+             (ex.doc_id IS NOT NULL) AS p1,
+             (ex.doc_id IS NOT NULL AND rep.keep) AS p2,
+             (ex.doc_id IS NOT NULL AND rep.keep AND NOT lm.is_outlier)
+               AS p3
+      FROM documents d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id
+      JOIN lm ON lm.doc_id = d.doc_id)
+    SELECT '0_raw' AS stage, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM base
+    UNION ALL SELECT '1_exact_dedup', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p1
+    UNION ALL SELECT '2_quality', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p2
+    UNION ALL SELECT '3_lm_filter', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p3
+    """
+
+
+@query("pipeline_curation_funnel", oracle=_funnel_oracle())
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed query — exact dedup
+    → Gopher repetition/diversity gates → corpus-LM outlier filter —
+    reported as a funnel: documents and tokens surviving each stage.
+    The stages are the REGISTERED operators called as functions
+    (`dedup_exact_hash`, `text_repetition_filter`,
+    `text_unigram_lm_score`), and the oracle nests those operators'
+    own oracle SQL as CTEs — composition is checked end-to-end, not
+    re-derived.
+
+    Catalyst plans the composition globally: the three stage inputs
+    share the one documents scan, each stage keeps its own single
+    shuffle, the stage flags join back on doc_id, and the 4-stage
+    report is an Expand (one row per stage gate) feeding a 4-group
+    aggregate. Survivor-set semantics are cumulative-AND, so a stage
+    can only shrink the funnel — the invariant a curation run reports
+    to its operator."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = (dedup_exact_hash(spark, sf_dir)
+          .select("doc_id", F.lit(True).alias("p1")))
+    rep = (text_repetition_filter(spark, sf_dir)
+           .select("doc_id", F.col("keep").alias("q_keep")))
+    lm = (text_unigram_lm_score(spark, sf_dir)
+          .select("doc_id", F.col("is_outlier").alias("lm_out")))
+    base = (
+        d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+        .join(ex, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("p1"), F.lit(False)).alias("p1"),
+            (F.coalesce(F.col("p1"), F.lit(False)) & F.col("q_keep"))
+            .alias("p2"),
+            (F.coalesce(F.col("p1"), F.lit(False)) & F.col("q_keep")
+             & ~F.col("lm_out")).alias("p3"),
+        )
+    )
+    stages = base.select(
+        "n_tokens",
+        F.explode(F.array(
+            F.struct(F.lit("0_raw").alias("stage"), F.lit(True).alias("ok")),
+            F.struct(F.lit("1_exact_dedup").alias("stage"),
+                     F.col("p1").alias("ok")),
+            F.struct(F.lit("2_quality").alias("stage"),
+                     F.col("p2").alias("ok")),
+            F.struct(F.lit("3_lm_filter").alias("stage"),
+                     F.col("p3").alias("ok")),
+        )).alias("s"),
+    )
+    return (
+        stages.filter(F.col("s.ok"))
+        .groupBy(F.col("s.stage").alias("stage"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+    )

@@ -21,7 +21,9 @@ S3, Redshift, etc" (``layer/python/dask_processing.py:26-27``).
 
 from __future__ import annotations
 
+import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,29 @@ _COUNTER = {"n": 0}
 def _mem_table(prefix: str) -> str:
     _COUNTER["n"] += 1
     return f"{prefix}_{_COUNTER['n']}"
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query start. A stateful stream creates one state store
+    PER shuffle partition PER stateful operator, and every micro-batch
+    snapshots every store — so the partition count is a per-batch
+    FIXED COST, not a parallelism win, until per-partition state is
+    large enough to matter. On local bench data 32 stores made the
+    stream-stream join 5× slower than 8 (pure checkpoint-file
+    overhead). The count is baked into each query's checkpoint at
+    first start (throwaway here), so pinning per-start is safe; at
+    cluster scale raise ``SPARK_GRAFT_STREAM_PARTITIONS`` to O(cores)
+    *before* the first run against a durable checkpoint — it cannot
+    change across restarts of the same checkpoint."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,12 +83,13 @@ def run_available_now(df: DataFrame, table: str,
     currently present, then stop — ``Trigger.AvailableNow`` with a
     throwaway checkpoint, memory sink for the result."""
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (df.writeStream.outputMode(output_mode)
-         .format("memory").queryName(table)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with _stream_state_partitions(df.sparkSession):
+        q = (df.writeStream.outputMode(output_mode)
+             .format("memory").queryName(table)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
 
 
 def run_processing_time(df: DataFrame, table: str, cadence: str,
@@ -75,11 +101,12 @@ def run_processing_time(df: DataFrame, table: str, cadence: str,
     process whatever arrived. Returns the running StreamingQuery; the
     caller owns ``stop()``."""
     ckpt = tempfile.mkdtemp(prefix="ckpt_pt_")
-    return (df.writeStream.outputMode(output_mode)
-            .format("memory").queryName(table)
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime=cadence)
-            .start())
+    with _stream_state_partitions(df.sparkSession):
+        return (df.writeStream.outputMode(output_mode)
+                .format("memory").queryName(table)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime=cadence)
+                .start())
 
 
 def producer_counts_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -206,16 +233,17 @@ def foreach_batch_to_parquet(spark: SparkSession, sf_dir: str,
          .write.mode("append").parquet(out_dir))
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
-    q = (
-        events_stream(spark, sf_dir)
-        .groupBy("event_type").agg(F.count("*").alias("n"))
-        .writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            events_stream(spark, sf_dir)
+            .groupBy("event_type").agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).count()
 
 
@@ -415,11 +443,12 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.avg("value").alias("mean_v"))
     table = _mem_table("stream_rate")
     ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
-    q = (agg.writeStream.outputMode("complete")
-         .format("memory").queryName(table)
-         .option("checkpointLocation", ckpt)
-         .trigger(processingTime="1 second")
-         .start())
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(table)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="1 second")
+             .start())
     try:
         # let a couple of micro-batches land, then stop — episodic use
         # of a continuous trigger (the reference's 1-minute cadence,
