@@ -298,3 +298,41 @@ def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6)
         .alias("price_share"),
     )
+
+
+@query(
+    "win_share_global_twophase",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(l_extendedprice) AS grp_rev, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    t AS (SELECT sum(grp_rev) AS total_rev FROM g)
+    SELECT g.l_returnflag, g.l_linestatus, g.n_rows,
+           round(g.grp_rev / t.total_rev, 6) AS rev_share
+    FROM g, t
+    """,
+)
+def win_share_global_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-TOTAL for low-cardinality groups, done scale-safe: the
+    window formulation (`sum() OVER ()` with an empty or 3-key
+    partition) funnels the whole table through ≤|groups| sort
+    partitions — the same parallelism ceiling `win_rank_dense_ntile`
+    documents. This variant never opens a window: phase 1 is an
+    ordinary partial+final aggregate per group, phase 2 broadcasts the
+    group totals and divides by their (broadcast, one-row) grand total.
+    Full parallelism at any scale; the denominators ride a 6-row
+    broadcast. `rev_share` is a ratio of two same-order sums, so
+    6-decimal rounding absorbs the summation noise that the raw sums
+    themselves would leak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (li.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_extendedprice").alias("grp_rev"),
+              F.count("*").alias("n_rows")))
+    t = g.agg(F.sum("grp_rev").alias("total_rev"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select("l_returnflag", "l_linestatus", "n_rows",
+                F.round(F.col("grp_rev") / F.col("total_rev"), 6)
+                .alias("rev_share"))
+    )

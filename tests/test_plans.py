@@ -171,3 +171,22 @@ def test_semdedup_is_cell_equijoin(spark, sf_dir):
     # never a cartesian product
     df = QUERIES["dedup_semdedup_cells"].fn(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_share_twophase_has_no_window(spark, sf_dir):
+    # the scale-safe share-of-total must not contain a Window node —
+    # denominators travel as broadcast aggregates
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["win_share_global_twophase"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_rank_vector_broadcasts(spark, sf_dir):
+    # the |nodes|-sized rank/degree vectors must broadcast onto the
+    # edge list each iteration — the edge list itself never re-shuffles
+    # into a sort-merge join
+    df = QUERIES["graph_pagerank"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
