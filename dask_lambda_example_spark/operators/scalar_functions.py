@@ -411,3 +411,35 @@ def fn_trig_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.tan(v), 6).alias("t"),
         F.round(F.atan(v), 6).alias("at"),
     )
+
+
+@query(
+    "fn_variant_semistructured",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)
+             BETWEEN 40 AND 60 AS mid_band
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` path extractions. Against schemaless 100 TB JSON
+    this is the right storage/access shape — the variant encodes paths
+    as a binary tree, so repeated path reads skip re-tokenizing the
+    JSON text (vs ``get_json_object``, which re-parses per call), and
+    at rest the shredded encoding keeps untouched fields unscanned.
+    The output extracts to concrete types — the variant itself never
+    leaves the plan (it has no stable cross-engine surface to hash)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.k", "bigint").between(40, 60)
+        .alias("mid_band"),
+    )

@@ -186,3 +186,53 @@ def udf_real_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tag_exploder(o_orderkey, o_orderstatus, o_orderpriority) t
         WHERE orders_v.o_orderkey < 100
     """)
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition ARROW-native iterator (``mapInArrow``): the same
+    escape hatch as ``mapInPandas`` minus the pandas materialization —
+    batches stay ``pyarrow.RecordBatch`` end to end, so there is no
+    index construction, no object-dtype risk, and no copy beyond
+    Arrow's own buffers. This is the floor of Python-boundary cost in
+    Spark; use it when the Python work is itself Arrow/NumPy-native
+    (codec shims, tensor libs) and pandas semantics buy nothing.
+    Filter + arithmetic run via ``pyarrow.compute`` kernels
+    (vectorized C++), one batch at a time — peak memory is the batch,
+    not the partition."""
+
+    def net_op(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            t = t.filter(pc.greater(t["l_discount"], 0.05))
+            # NB: no pc.round here — Arrow's decimal rounding lands on a
+            # different ulp than JVM/DuckDB round; the 6-decimal parity
+            # rounding happens in the Spark projection after the UDF
+            net = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            out = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "net_price": net,
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            })
+            for ob in out.to_batches():
+                yield ob
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.mapInArrow(
+        net_op,
+        schema="l_orderkey long, l_linenumber int, net_price double, qty long")
+    return raw.select("l_orderkey", "l_linenumber",
+                      F.round("net_price", 6).alias("net_price"), "qty")

@@ -144,5 +144,6 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.udf_surface  # noqa: F401
     import dask_lambda_example_spark.sources.synthetic  # noqa: F401
     import dask_lambda_example_spark.sources.formats  # noqa: F401
+    import dask_lambda_example_spark.sources.pydatasource  # noqa: F401
     import dask_lambda_example_spark.streaming.pipeline  # noqa: F401
     _LOADED = True

@@ -1,0 +1,107 @@
+"""Custom connector via the Python Data Source API (Spark 4,
+``pyspark.sql.datasource``): a deterministic synthetic trades source.
+
+The reference's data plane starts from a producer that *generates*
+records on a schedule (``src/lambda_producer.py:14-27``); its Spark
+analog until now was ``range()``+expressions (`sources/synthetic.py`).
+This module closes the remaining connector seam: the same generator as
+a REGISTERED SOURCE FORMAT — ``spark.read.format("synthetic_trades")``
+— i.e. the extension point a user would use for a real external system
+(REST API, message queue, bespoke file format) without touching JVM
+code.
+
+Scale posture: the source declares explicit input partitions, so reads
+parallelize like any file scan — each task materializes only its own
+partition's rows, one at a time from a generator (no per-partition
+list). Generation is pure integer arithmetic on the global row id:
+deterministic, seed-free, engine-replicable — the DuckDB oracle
+reproduces the identical rows from ``generate_series``, value-hash
+included. Python-side generation costs the Python boundary; for hot
+paths the JVM-side ``range()`` generator remains the fast variant —
+this is the CONNECTOR seam, priced accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from dask_lambda_example_spark.registry import query
+
+N_PARTS = 8
+ROWS_PER_PART = 5000
+# Knuth multiplicative hash constant — exact in int64 for our id range
+MULT = 2654435761
+
+
+class SyntheticTradesDataSource(DataSource):
+    """``format("synthetic_trades")`` — options: parts, rows_per_part."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_trades"
+
+    def schema(self) -> str:
+        return "trade_id bigint, side string, qty bigint, price double"
+
+    def reader(self, schema) -> "SyntheticTradesReader":
+        return SyntheticTradesReader(
+            int(self.options.get("parts", N_PARTS)),
+            int(self.options.get("rows_per_part", ROWS_PER_PART)),
+        )
+
+
+class SyntheticTradesReader(DataSourceReader):
+    def __init__(self, parts: int, rows_per_part: int) -> None:
+        self.parts = parts
+        self.rows_per_part = rows_per_part
+
+    def partitions(self):  # explicit split list → parallel scan
+        return [InputPartition(p) for p in range(self.parts)]
+
+    def read(self, partition):
+        base = partition.value * self.rows_per_part
+        for i in range(self.rows_per_part):
+            g = base + i
+            h = (g * MULT) % 1_000_000
+            yield (g, "buy" if g % 2 == 0 else "sell",
+                   g % 100 + 1, h / 100.0)
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    WITH t AS (
+      SELECT g AS trade_id,
+             CASE WHEN g % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+             g % 100 + 1 AS qty,
+             (g * {MULT}) % 1000000 / 100.0 AS price
+      FROM generate_series(0, {N_PARTS * ROWS_PER_PART - 1}) AS s(g))
+    SELECT side, count(*) AS n_trades,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(round(avg(price), 6) AS REAL) AS avg_price,
+           round(min(price), 6) AS min_price,
+           round(max(price), 6) AS max_price
+    FROM t GROUP BY side
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered Python data source and aggregate —
+    proving the connector integrates with the full declarative stack:
+    the source's explicit partitions become scan tasks, and everything
+    above the scan (grouping, partial aggregation) is ordinary
+    Catalyst planning. Registration is idempotent per session."""
+    spark.dataSource.register(SyntheticTradesDataSource)
+    t = (spark.read.format("synthetic_trades")
+         .option("parts", N_PARTS)
+         .option("rows_per_part", ROWS_PER_PART)
+         .load())
+    return (
+        t.groupBy("side")
+        .agg(F.count("*").alias("n_trades"),
+             F.sum("qty").alias("total_qty"),
+             F.round(F.avg("price"), 6).cast("float").alias("avg_price"),
+             F.round(F.min("price"), 6).alias("min_price"),
+             F.round(F.max("price"), 6).alias("max_price"))
+    )
