@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader)
 
 from dask_lambda_example_spark.registry import query
 
@@ -104,4 +105,113 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("price"), 6).cast("float").alias("avg_price"),
              F.round(F.min("price"), 6).alias("min_price"),
              F.round(F.max("price"), 6).alias("max_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming variant: custom Python stream source (bounded, deterministic)
+# ---------------------------------------------------------------------------
+
+STREAM_MAX = 10_000
+STREAM_STEP = 2_000
+
+
+class SyntheticTradesStreamSource(DataSource):
+    """``readStream.format("synthetic_trades_stream")`` — a BOUNDED
+    offset-based stream: each micro-batch advances the offset by
+    ``STREAM_STEP`` until ``STREAM_MAX``; rows are the same pure
+    integer-arithmetic trades as the batch connector, so the drained
+    stream is deterministic and the oracle replays it exactly."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_trades_stream"
+
+    def schema(self) -> str:
+        return "trade_id bigint, side string, qty bigint, price double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticTradesStreamReader":
+        return SyntheticTradesStreamReader()
+
+
+def _trade_rows(start: int, end: int):
+    for g in range(start, end):
+        yield (g, "buy" if g % 2 == 0 else "sell",
+               g % 100 + 1, ((g * MULT) % 1_000_000) / 100.0)
+
+
+class SyntheticTradesStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self):
+        return {"o": 0}
+
+    def read(self, start):
+        s = start["o"]
+        e = min(s + STREAM_STEP, STREAM_MAX)
+        # a list iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, generators can't be
+        return (iter(list(_trade_rows(s, e))), {"o": e})
+
+    def readBetweenOffsets(self, start, end):
+        # exact replay for recovery — offsets fully determine the data
+        return iter(list(_trade_rows(start["o"], end["o"])))
+
+
+@query(
+    "src_python_stream_datasource",
+    oracle=f"""
+    WITH t AS (
+      SELECT g AS trade_id,
+             CASE WHEN g % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+             g % 100 + 1 AS qty,
+             (g * {MULT}) % 1000000 / 100.0 AS price
+      FROM generate_series(0, {STREAM_MAX - 1}) AS s(g))
+    SELECT side, count(*) AS n_trades,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(round(sum(price), 6) AS REAL) AS total_price
+    FROM t GROUP BY side
+    """,
+)
+def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom Python STREAM source across multiple real
+    micro-batches (processing-time trigger, ~5 batches of
+    ``STREAM_STEP`` rows), then aggregate the landed rows. The source
+    is offset-based with exact ``readBetweenOffsets`` replay — the
+    recovery contract a production connector must honor — and bounded,
+    so the drained result is deterministic and value-hash-gated against
+    the oracle's replay of the identical offset range. Covers the
+    reference's producer→consumer cadence (``app.py:131-134``) with a
+    USER-DEFINED source instead of the built-in file/rate sources."""
+    import time as _time
+
+    from dask_lambda_example_spark.streaming.pipeline import (
+        _mem_table, _stream_state_partitions)
+
+    spark.dataSource.register(SyntheticTradesStreamSource)
+    stream = spark.readStream.format("synthetic_trades_stream").load()
+    table = _mem_table("pyds_stream")
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pyds_")
+    with _stream_state_partitions(spark):
+        q = (stream.writeStream.outputMode("append")
+             .format("memory").queryName(table)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="250 milliseconds")
+             .start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(table).count() >= STREAM_MAX:
+                break
+            _time.sleep(0.25)
+        else:
+            raise RuntimeError("stream source did not drain in time")
+    finally:
+        q.stop()
+    return (
+        spark.table(table)
+        .groupBy("side")
+        .agg(F.count("*").alias("n_trades"),
+             F.sum("qty").alias("total_qty"),
+             F.round(F.sum("price"), 6).cast("float").alias("total_price"))
     )
