@@ -562,3 +562,83 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ce") > CE_OUTLIER).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model cross-entropy (add-k smoothed)
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 0.5  # add-k smoothing mass
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i])) AS w1
+        FROM ws),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(toks) AS tok FROM ws)),
+    bgc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+    w1c AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               -ln((bgc.cb + {BIGRAM_K})
+                   / (w1c.cw + {BIGRAM_K} * vocab.v)) AS nll
+        FROM bg b
+        JOIN bgc ON bgc.bigram = b.bigram
+        JOIN w1c ON w1c.w1 = b.w1
+        CROSS JOIN vocab)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(round(avg(nll), 6) AS REAL) AS cross_entropy,
+           CAST(round(exp(avg(nll)), 6) AS REAL) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with add-k smoothing — one model order
+    up from `text_unigram_lm_score`, the shape real perplexity filters
+    (KenLM in CCNet/RedPajama) use: P(w₂|w₁) = (c(w₁w₂)+k) /
+    (c(w₁·)+k·V), per-document cross-entropy and perplexity under the
+    corpus-fit model.
+
+    Plan: bigrams are built from ONE materialized token array per doc
+    (zip_with over two slices — never re-splitting inside a HOF lambda,
+    which Catalyst re-evaluates per element), exploded once; the bigram
+    and prefix count tables are vocabulary-sized aggregates that come
+    back as BROADCAST joins; V rides a one-row broadcast. Two passes
+    over the token stream total — same as any n-gram order, only the
+    broadcast side grows. Scores are float32-cast (avg-of-logs
+    accumulates in engine order)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n = F.size(F.col("toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    bg = (ws.select("doc_id", F.explode(bigrams).alias("bigram"))
+          .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))))
+    vocab = (ws.select(F.explode("toks").alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    w1c = bg.groupBy("w1").agg(F.count("*").alias("cw"))
+    nll = -F.log((F.col("cb") + BIGRAM_K)
+                 / (F.col("cw") + BIGRAM_K * F.col("v")))
+    return (
+        bg.join(F.broadcast(bgc), "bigram")
+        .join(F.broadcast(w1c), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg(nll), 6).cast("float").alias("cross_entropy"),
+             F.round(F.exp(F.avg(nll)), 6).cast("float").alias("perplexity"))
+    )

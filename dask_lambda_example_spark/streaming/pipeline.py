@@ -537,3 +537,107 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _mem_table("stream_stream_left_outer")
     run_available_now(joined, table, output_mode="append")
     return spark.table(table)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+        SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        ORDER BY event_id
+    ) GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the dedup whose state is
+    BOUNDED — a key is only remembered until the watermark passes its
+    event time + delay, unlike plain streaming ``dropDuplicates``
+    whose seen-key set grows for the job's lifetime. This is the only
+    dedup you can afford on an unbounded 100 TB/day stream; the
+    trade-off (duplicates separated by more than the delay survive) is
+    the operator's contract, and over the static one-batch input it is
+    exact, so the oracle equals the batch DISTINCT ON."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = (deduped.groupBy("event_type")
+           .agg(F.count("*").alias("n")))
+    table = _mem_table("stream_dedup_wm")
+    run_available_now(agg, table, output_mode="complete")
+    return spark.table(table)
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT REGISTERED as a query: ``transformWithStateInPandas``'s
+    driver worker needs the ``google.protobuf`` Python package, absent
+    in this container — the capability is exercised by an import-gated
+    test (``tests/test_streaming_ingest.py``) exactly like the Spark
+    Connect smoke, and registers cleanly wherever protobuf exists.
+
+    Custom stateful operator on the MODERN Spark 4 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): per-user
+    count and value range kept in a typed ``ValueState`` handle. Next
+    to ``applyInPandasWithState`` this is the forward path — explicit
+    state variables (value/list/map state, TTL support) instead of one
+    packed tuple, an init/close lifecycle, and timers — and it REQUIRES
+    the RocksDB state store provider, which is also the right provider
+    at scale (incremental snapshots, state larger than heap, no JVM-GC
+    amplification). Static input → one batch → output equals the batch
+    aggregate the oracle runs."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RangeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            import pyspark.sql.types as T
+            schema = T.StructType([
+                T.StructField("n", T.LongType()),
+                T.StructField("vmin", T.DoubleType()),
+                T.StructField("vmax", T.DoubleType()),
+            ])
+            self.state = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+            if self.state.exists():
+                n, vmin, vmax = self.state.get()
+            else:
+                n, vmin, vmax = 0, float("inf"), float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                vmin = min(vmin, float(pdf["value"].min()))
+                vmax = max(vmax, float(pdf["value"].max()))
+            self.state.update((n, vmin, vmax))
+            yield _pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "value_range": [round(vmax - vmin, 6)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        out = (
+            events_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RangeProcessor(),
+                outputStructType="user_id long, n_events long, value_range double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        table = _mem_table("stream_tws")
+        run_available_now(out, table, output_mode="update")
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return spark.table(table)

@@ -111,3 +111,28 @@ def test_foreach_batch_sink(spark, sf_dir):
     back = spark.read.parquet(out)
     assert {r["event_type"] for r in back.collect()} == {
         "click", "error", "purchase", "signup", "view"}
+
+
+def test_transform_with_state_modern_api(spark, sf_dir):
+    # Spark 4 transformWithStateInPandas needs google.protobuf in the
+    # Python env for its driver worker; gate like the Connect smoke
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed — "
+                    "transformWithStateInPandas driver worker unavailable")
+    from dask_lambda_example_spark.streaming.pipeline import (
+        stream_transform_with_state)
+
+    df = stream_transform_with_state(spark, sf_dir)
+    rows = {r["user_id"]: r for r in df.collect()}
+    import duckdb
+    exp = duckdb.sql(
+        f"SELECT user_id, count(*) n, round(max(value)-min(value),6) vr "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY user_id").fetchall()
+    assert len(rows) == len(exp)
+    for uid, n, vr in exp:
+        assert rows[uid]["n_events"] == n
+        assert abs(rows[uid]["value_range"] - vr) < 1e-6
