@@ -296,3 +296,32 @@ def join_broadcast_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"),
              F.round(F.sum("l_quantity"), 6).alias("qty"))
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 6) AS REAL) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy CONTROL: the same fact⋈dim as the broadcast
+    variants, forced to a shuffled hash join via ``hint("SHUFFLE_HASH")``
+    — no sort on either side (vs sort-merge), at the cost of building a
+    hash map per partition. The right manual pick when both sides are
+    too big to broadcast but the build side fits a task's memory, and a
+    sort would dominate (e.g. pre-aggregation joins). Hints are the
+    escape hatch when statistics mislead AQE; the plan contract
+    (ShuffledHashJoin, no SortMergeJoin) is asserted in
+    tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 6).cast("float").alias("revenue"))
+    )

@@ -220,3 +220,44 @@ def fmt_local_data_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hemisphere")
         .agg(F.count("*").alias("n_nations"))
     )
+
+
+@query(
+    "fmt_dynamic_partition_pruning",
+    oracle="""
+    WITH dim(event_type, category) AS (VALUES
+        ('view', 'engagement'), ('click', 'engagement'),
+        ('purchase', 'revenue'), ('signup', 'acquisition'))
+    SELECT d.category, e.event_type, count(*) AS n,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN dim d USING (event_type)
+    WHERE d.category = 'engagement'
+    GROUP BY d.category, e.event_type
+    """,
+)
+def fmt_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is hive-partitioned on
+    the join key and the partitions to read are only known AFTER the
+    dim-side filter runs — Catalyst injects a runtime
+    ``dynamicpruningexpression`` into the scan's PartitionFilters
+    (reusing the dim's broadcast as the IN-list), so the fact scan
+    reads 2 of 4 directories even though the query text never names
+    them. THE mechanism that makes star-schema joins over
+    date/category-partitioned 100 TB facts read only the slice the dim
+    selects. Plan-asserted in tests/test_plans.py."""
+    path = _dir("events_dpp")
+    e = load_table(spark, sf_dir, "events")
+    e.select("event_id", "user_id", "value", "event_type") \
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("view", "engagement"), ("click", "engagement"),
+         ("purchase", "revenue"), ("signup", "acquisition")],
+        "event_type string, category string")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("category") == "engagement")
+        .groupBy("category", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )

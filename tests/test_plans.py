@@ -190,3 +190,21 @@ def test_pagerank_rank_vector_broadcasts(spark, sf_dir):
     # into a sort-merge join
     df = QUERIES["graph_pagerank"].fn(spark, sf_dir)
     assert_broadcast_join(df)
+
+
+def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
+    # the fact scan's partition filters must carry a runtime
+    # dynamicpruning expression fed by the dim side
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["fmt_dynamic_partition_pruning"].fn(spark, sf_dir)
+    assert "dynamicpruning" in physical_plan(df).lower()
+
+
+def test_join_hint_forces_shuffled_hash(spark, sf_dir):
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["join_hint_shuffle_hash"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
