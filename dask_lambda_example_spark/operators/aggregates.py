@@ -280,3 +280,38 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("o_totalprice"), 6).alias("spend"))
         .filter(F.col("n_orders") >= 5)
     )
+
+
+@query(
+    "agg_correlation_covariance",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS REAL)
+             AS qty_price_corr,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 6) AS REAL)
+             AS qty_price_covar,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 6) AS REAL)
+             AS price_per_qty_slope
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_correlation_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (dask `df.corr()`/`cov()` and the
+    DataFrameStatFunctions surface): Pearson correlation, sample
+    covariance, and the OLS slope — all single-pass streaming
+    aggregates (co-moment accumulators, partial+final like any sum),
+    NOT a collect-and-numpy detour. One shuffle of 3-key groups; the
+    accumulators are order-sensitive in the last ulps, so outputs are
+    float32-cast on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .cast("float").alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
+            .cast("float").alias("qty_price_covar"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+            .cast("float").alias("price_per_qty_slope"),
+        )
+    )

@@ -261,3 +261,52 @@ def fmt_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n"),
              F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+N_SMALL_FILES = 64
+N_COMPACTED = 4
+
+
+@query(
+    "fmt_compaction_small_files",
+    oracle=f"""
+    SELECT {N_SMALL_FILES} AS n_files_small, {N_COMPACTED} AS n_files_compacted,
+           count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    """,
+)
+def fmt_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the maintenance job every file-based
+    100 TB table needs: a fragmented write (64 shards) is rewritten to
+    4 right-sized files, and the query proves BOTH the layout contract
+    (``repartition(n)`` yields exactly n files — the counts in the
+    output are assertions, read back from the filesystem) and bit-level
+    data preservation across the rewrite. ``repartition`` gives exact
+    output sizing via one round-robin shuffle; plain ``coalesce`` skips
+    the shuffle but only merges within existing partitions (can't
+    split, can skew) — the right default for mild compaction,
+    repartition for exact file-size SLAs. ``maxRecordsPerFile`` is the
+    complementary knob bounding the other direction."""
+    import os
+
+    small = _dir("compact_small")
+    big = _dir("compact_big")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    e.repartition(N_SMALL_FILES).write.mode("overwrite").parquet(small)
+    back = spark.read.parquet(small)
+    back.repartition(N_COMPACTED).write.mode("overwrite").parquet(big)
+
+    def count_parquet(path: str) -> int:
+        return len([f for f in os.listdir(path.removeprefix("file://"))
+                    if f.endswith(".parquet")])
+
+    comp = spark.read.parquet(big)
+    return comp.agg(
+        F.lit(count_parquet(small)).alias("n_files_small"),
+        F.lit(count_parquet(big)).alias("n_files_compacted"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

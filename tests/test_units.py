@@ -80,3 +80,27 @@ def test_decode_stub_seam():
     assert decode_image_stub(raw) == (640, 480)
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_observe_collects_metrics_inline(spark, sf_dir):
+    # df.observe(): pipeline health metrics ride the job itself — no
+    # second pass over the data for row counts / null rates at 100 TB
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    obs = Observation("ingest_metrics")
+    e = load_table(spark, sf_dir, "events")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+    )
+    out = observed.groupBy("event_type").count()
+    n_types = out.count()   # one action drives both result and metrics
+    assert n_types >= 1
+    got = obs.get
+    exp = e.count()
+    assert got["n_rows"] == exp
+    assert got["n_null_value"] >= 0
