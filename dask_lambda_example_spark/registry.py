@@ -73,12 +73,17 @@ PRIORITY_QUERIES = (
     "fn_json_extract", "fn_from_json_struct", "fn_struct_access",
     "fn_bitwise_battery", "fn_trig_battery", "win_lag_lead_diff",
     "win_cumulative", "win_rolling_rows", "win_rolling_time_range",
-    # LLM-data-pipeline tier (never driver-checked in round 1)
-    "dedup_exact_hash", "dedup_exact_normalized", "dedup_jaccard_pairs",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_embedding_neardup",
-    "dedup_decontaminate",
-    "sim_vector_math", "sim_cosine_topk_bruteforce", "sim_threshold_join",
-    "sim_ann_signlsh_topk", "sim_ivf_centroids", "sim_ivf_search",
+    # LLM-data-pipeline tier (never driver-checked in round 1); round 2
+    # swapped five same-family redundancies for round-2 marquee ops so
+    # the 50-query window samples one of EVERY family — the displaced
+    # queries (dedup_exact_normalized, dedup_simhash,
+    # dedup_decontaminate, sim_threshold_join, sim_ivf_centroids) stay
+    # builder-green and re-register right after the window
+    "dedup_exact_hash", "pipeline_curation_funnel", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh_pairs", "graph_pagerank", "dedup_embedding_neardup",
+    "pack_sequences",
+    "sim_vector_math", "sim_cosine_topk_bruteforce", "src_python_datasource",
+    "sim_ann_signlsh_topk", "stream_stream_left_outer", "sim_ivf_search",
     "text_token_stats", "text_langid_heuristic", "text_quality_score",
     "text_fingerprint", "text_tfidf_top_terms", "text_term_frequency",
     # event analytics
