@@ -104,3 +104,19 @@ def test_observe_collects_metrics_inline(spark, sf_dir):
     exp = e.count()
     assert got["n_rows"] == exp
     assert got["n_null_value"] >= 0
+
+
+def test_approx_sketch_accuracy_contract(spark, sf_dir):
+    # the HLL sketch is rows-only vs the oracle (engine-specific
+    # internals) but its ACCURACY contract is checkable: estimates
+    # within 3x the configured rsd of the exact distinct count
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    rsd = 0.05
+    e = load_table(spark, sf_dir, "events")
+    got = (e.agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+        F.countDistinct("user_id").alias("exact")).collect()[0])
+    assert abs(got["approx"] - got["exact"]) <= max(3 * rsd * got["exact"], 3)
