@@ -443,3 +443,37 @@ def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").between(40, 60)
         .alias("mid_band"),
     )
+
+
+@query(
+    "fn_datetime_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S')                      AS ts_parsed,
+           strptime(strftime(o_orderdate, '%d/%m/%Y'),
+                    '%d/%m/%Y')                               AS d_parsed,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') = o_orderdate        AS roundtrip_ok
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→temporal PARSING (pandas/dask ``to_datetime``) — the
+    other half of the strftime battery: format each timestamp to text
+    and parse it back with ``to_timestamp``/``to_date`` pattern
+    parsing, asserting the round-trip inline. Pure projection; the
+    round-trip flag makes silent format/locale drift (the classic
+    ingestion bug) a value-hash failure instead of a latent wrong
+    answer."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    od = F.col("o_orderdate").cast("timestamp")
+    full = F.date_format(od, "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(full, "yyyy-MM-dd HH:mm:ss").alias("ts_parsed"),
+        F.to_date(F.date_format(od, "dd/MM/yyyy"), "dd/MM/yyyy")
+        .cast("timestamp").alias("d_parsed"),
+        (F.to_timestamp(full, "yyyy-MM-dd HH:mm:ss") == od)
+        .alias("roundtrip_ok"),
+    )

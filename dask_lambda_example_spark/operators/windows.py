@@ -336,3 +336,35 @@ def win_share_global_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("grp_rev") / F.col("total_rev"), 6)
                 .alias("rev_share"))
     )
+
+
+@query(
+    "win_cumprod_compounded",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(exp(sum(ln(1 + l_discount))
+                          OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber
+                                ROWS UNBOUNDED PRECEDING)), 6) AS REAL)
+             AS cum_factor
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def win_cumprod_compounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative PRODUCT (pandas/dask ``cumprod`` — compounding
+    factors): neither Spark nor most engines ship a product window
+    aggregate, so the scale-correct identity is
+    ``exp(cumsum(ln x))`` for positive x — one running-sum window over
+    the log, no per-group iteration, the same partial-aggregation
+    machinery as any cumsum. The formula is applied identically on
+    both sides (float32-cast: exp amplifies last-ulp log-sum noise
+    past 6-decimal rounding)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0)
+    w = (W.partitionBy("l_orderkey").orderBy("l_linenumber")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.exp(F.sum(F.log(1 + F.col("l_discount"))).over(w)), 6)
+        .cast("float").alias("cum_factor"),
+    )
