@@ -93,8 +93,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     ensure_portable_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # events.ts contract: session-timezone TIMESTAMP (µs), regardless of
+    # how the driver generated the file. Two observed encodings:
+    #   - TIMESTAMP(NANOS): scans as bigint under nanosAsLong → truncate
+    #     ns→µs (what DuckDB does on the same file).
+    #   - timestamp[us] without tz: scans as TIMESTAMP_NTZ → cast to
+    #     TIMESTAMP; the session is pinned UTC so the wall-clock value is
+    #     preserved bit-for-bit, matching DuckDB's naive read.
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if parallel:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
