@@ -208,3 +208,16 @@ def test_join_hint_forces_shuffled_hash(spark, sf_dir):
     plan = physical_plan(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_centroids_broadcast_no_window(spark, sf_dir):
+    # the k-row centroid table must broadcast onto the corpus for
+    # assignment (BroadcastNestedLoopJoin), and the argmin must be a
+    # grouped aggregate (map-side combinable), never a window sort over
+    # the corpus
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["ml_kmeans_lloyd"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
