@@ -642,3 +642,88 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg(nll), 6).cast("float").alias("cross_entropy"),
              F.round(F.exp(F.avg(nll)), 6).cast("float").alias("perplexity"))
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency-ranked vocabulary + token-id encoding (the tokenize step of a
+# training pipeline: text -> bounded integer id sequences)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 200  # vocabulary budget; everything rarer maps to UNK
+UNK_ID = -1
+ENC_DOC_MOD = 25  # encode every 25th doc so the output stays inspectable
+
+
+@query(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+    vocab AS (
+        SELECT term,
+               row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS id
+        FROM tok GROUP BY term
+        ORDER BY count(*) DESC, term LIMIT {VOCAB_TOP}),
+    enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.id, {UNK_ID}) AS id
+        FROM tok t LEFT JOIN vocab v ON v.term = t.term
+        WHERE t.doc_id % {ENC_DOC_MOD} = 0)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN id = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+           array_to_string(list(id ORDER BY pos), ' ') AS ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build + token-id encoding: ids are
+    assigned by corpus frequency (count desc, term asc — the
+    conventional "id 0 is the most common token" layout), truncated to
+    a {top}-term budget; encoded documents carry ordered id sequences
+    with out-of-vocabulary tokens mapped to {unk}.
+
+    Scale shape: the vocabulary is ONE token-keyed aggregation with
+    map-side combine (partition→vocab-size collapse before the
+    shuffle) and the ranking window runs over the vocab-sized
+    aggregate, never the corpus. Encoding is a broadcast hash join of
+    the bounded vocab onto the exploded token stream, re-assembled per
+    document by one doc-keyed aggregation — order restored via
+    position sort inside the group, not a global sort. Output ids are
+    space-joined strings so the value hash crosses engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id",
+                 F.posexplode(F.split(F.col("text"), " "))
+                 .alias("pos0", "term"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tok.groupBy("term").agg(F.count("*").alias("cnt"))
+        .withColumn("id", F.row_number().over(w) - 1)
+        .filter(F.col("id") < VOCAB_TOP)
+        .select("term", "id")
+    )
+    enc = (
+        tok.filter(F.col("doc_id") % ENC_DOC_MOD == 0)
+        .join(F.broadcast(vocab), "term", "left")
+        .select("doc_id", "pos",
+                F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id"))
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.when(F.col("id") == UNK_ID, 1).otherwise(0))
+             .alias("n_unk"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                     lambda s: s.getField("id").cast("string")), " ")
+             .alias("ids"))
+    )
+
+
+text_vocab_encode.__doc__ = text_vocab_encode.__doc__.format(
+    top=VOCAB_TOP, unk=UNK_ID)

@@ -142,6 +142,8 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.events_analytics  # noqa: F401
     import dask_lambda_example_spark.operators.graph  # noqa: F401
     import dask_lambda_example_spark.operators.clustering  # noqa: F401
+    import dask_lambda_example_spark.operators.cdc  # noqa: F401
+    import dask_lambda_example_spark.operators.profiling  # noqa: F401
     import dask_lambda_example_spark.operators.dedup  # noqa: F401
     import dask_lambda_example_spark.operators.curation  # noqa: F401
     import dask_lambda_example_spark.operators.similarity  # noqa: F401

@@ -221,3 +221,10 @@ def test_kmeans_centroids_broadcast_no_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    # the bounded vocabulary must broadcast onto the exploded token
+    # stream — the corpus is never shuffled for the id lookup
+    df = QUERIES["text_vocab_encode"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
