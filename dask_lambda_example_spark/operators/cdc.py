@@ -102,3 +102,45 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.o_totalprice").alias("new_price"),
         )
     )
+
+
+@query(
+    "cdc_apply_upsert",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {_UPD_MOD} = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % {_DEL_MOD} <> 0
+    """,
+)
+def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-apply: fold the CDC delta back into the old snapshot and
+    reconstruct the new one — the upsert half of the reference's A17
+    metadata-upsert surface, expressed as pure DataFrame algebra:
+
+        new = (old ANTI JOIN deleted∪updated keys)
+              UNION ALL (insert∪update payloads)
+
+    The oracle is snapshot B itself, so the operator is verified by
+    round-trip: diff then apply reproduces the target table exactly,
+    bit-for-bit. Scale shape: the delta is small next to the snapshot —
+    the anti join broadcasts the delta's key set and the union is
+    scan-concatenation, no shuffle of the surviving majority."""
+    delta = cdc_snapshot_diff(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    snap_a = o.filter(F.col("o_orderkey") % _INS_MOD != 0)
+    touched = delta.select("o_orderkey")
+    new_rows = (
+        delta.filter(F.col("change_type") != "delete")
+        .select("o_orderkey",
+                F.col("new_status").alias("o_orderstatus"),
+                F.col("new_price").alias("o_totalprice"))
+    )
+    return (
+        snap_a.join(F.broadcast(touched), "o_orderkey", "left_anti")
+        .unionByName(new_rows)
+    )

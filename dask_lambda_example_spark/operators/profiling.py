@@ -80,3 +80,51 @@ def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stack(F.lit(len(cols)), *stack_args)
         .alias("col_name", "n_null", "null_frac", "n_distinct",
                "min_val", "max_val"))
+
+
+@query(
+    "profile_corpus_drift_kl",
+    oracle="""
+    WITH a AS (SELECT lang, count(*) AS na FROM documents
+               WHERE doc_id % 2 = 0 GROUP BY lang),
+    b AS (SELECT lang, count(*) AS nb FROM documents
+          WHERE doc_id % 2 = 1 GROUP BY lang),
+    ta AS (SELECT sum(na) AS s FROM a), tb AS (SELECT sum(nb) AS s FROM b)
+    SELECT a.lang,
+           CAST(round(a.na * 1.0 / ta.s, 6) AS REAL) AS share_a,
+           CAST(round(b.nb * 1.0 / tb.s, 6) AS REAL) AS share_b,
+           CAST(round((a.na * 1.0 / ta.s)
+                      * ln((a.na * 1.0 / ta.s) / (b.nb * 1.0 / tb.s)),
+                      6) AS REAL) AS kl_term
+    FROM a JOIN b ON a.lang = b.lang, ta, tb
+    """,
+)
+def profile_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus cuts (here: the two
+    deterministic halves of ``documents``): per-language shares in each
+    cut and the pointwise KL(A‖B) contribution — the drift monitor a
+    recrawl pipeline runs before swapping training mixes. Two
+    language-keyed aggregations (map-side combine to |langs| rows) and
+    broadcast scalar totals; nothing corpus-sized ever joins or sorts.
+    Float discipline: shares and KL terms round(·,6)→float32 on both
+    sides (ln is libm-adjacent but the rounding margin was verified)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = (d.filter(F.col("doc_id") % 2 == 0)
+         .groupBy("lang").agg(F.count("*").alias("na")))
+    b = (d.filter(F.col("doc_id") % 2 == 1)
+         .groupBy("lang").agg(F.count("*").alias("nb")))
+    ta = a.agg(F.sum("na").alias("sa"))
+    tb = b.agg(F.sum("nb").alias("sb"))
+    share_a = F.col("na") / F.col("sa")
+    share_b = F.col("nb") / F.col("sb")
+    return (
+        a.join(b, "lang")
+        .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+        .select(
+            "lang",
+            F.round(share_a, 6).cast("float").alias("share_a"),
+            F.round(share_b, 6).cast("float").alias("share_b"),
+            F.round(share_a * F.log(share_a / share_b), 6).cast("float")
+            .alias("kl_term"),
+        )
+    )

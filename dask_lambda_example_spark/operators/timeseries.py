@@ -369,3 +369,102 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(back_closer, F.col("bk")).otherwise(F.col("fk")))
     return (b.join(f, "event_id")
             .select("event_id", "user_id", "ts", pick.alias("o_orderkey")))
+
+
+ROLLUP_CUTOFF = "2024-01-25"
+
+
+@query(
+    "ts_rollup_incremental",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 6) AS REAL) AS sum_value,
+           CAST(round(sum(value) / count(*), 6) AS REAL) AS mean_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) maintenance: a daily
+    per-event-type rollup kept current by MERGING a pre-materialized
+    historical rollup with the aggregate of only the newly arrived raw
+    slice — the old raw data is never rescanned. The merge works
+    because the kept state is algebraic (sum, count); the mean is
+    derived from merged state, never averaged across partials.
+
+    Here the "materialized" half is the rollup of days < {cut} and the
+    delta is raw events ≥ {cut}; the oracle aggregates the full raw
+    table directly, so the merge path is verified equal to the
+    recompute path — the correctness contract of every incremental
+    rollup. Scale shape: each half is one (day, type)-keyed partial
+    aggregation; the merge re-aggregates rollup-sized rows only. At
+    100 TB the historical half is a stored table of ~days×types rows
+    and the nightly job touches one day of raw data."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    cut = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy(day, "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("value").alias("sum_value")))
+
+    old_rollup = partial(e.filter(F.col("ts") < cut))      # "materialized"
+    delta = partial(e.filter(F.col("ts") >= cut))          # new raw slice
+    return (
+        old_rollup.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sv"))
+        .select(
+            "day", "event_type", "n",
+            F.round("sv", 6).cast("float").alias("sum_value"),
+            F.round(F.col("sv") / F.col("n"), 6).cast("float")
+            .alias("mean_value"),
+        )
+    )
+
+
+ts_rollup_incremental.__doc__ = ts_rollup_incremental.__doc__.format(
+    cut=ROLLUP_CUTOFF)
+
+
+@query(
+    "ts_scd2_islands",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS island
+        FROM events)
+    SELECT user_id, event_type,
+           CAST(min(ts) AS TIMESTAMP) AS valid_from,
+           CAST(max(ts) AS TIMESTAMP) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ordered GROUP BY user_id, event_type, island
+    """,
+)
+def ts_scd2_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type-2) history build: collapse each
+    user's consecutive same-event_type run into one validity interval
+    (valid_from/valid_to) — gaps-and-islands via the double-row_number
+    difference, the standard O(n log n)-per-key shape. Both windows
+    partition on user_id (plus type), so ONE shuffle keyed by user
+    serves both sorts; the grouped collapse reuses the same
+    partitioning. Deterministic tie-break (ts, event_id) makes the
+    island ids — and therefore the intervals — engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    island = (F.row_number().over(w_u)
+              - F.row_number().over(w_ut)).alias("island")
+    return (
+        e.select("user_id", "event_type", "ts", island)
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts").alias("valid_from"),
+             F.max("ts").alias("valid_to"),
+             F.count("*").alias("n_events"))
+        .drop("island")
+    )
