@@ -228,3 +228,46 @@ def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
     # stream — the corpus is never shuffled for the id lookup
     df = QUERIES["text_vocab_encode"].fn(spark, sf_dir)
     assert_broadcast_join(df)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    # the AQE skew-join path is the runtime half of the skew story
+    # (join_salted_skew is the static half): with a pathologically
+    # skewed key, AQE must mark the sort-merge join skew=true and
+    # split the oversized partition into mapper-range slices — conf
+    # only, no code change. The skewed side needs >1 map task (slices
+    # are formed from mapper ranges), hence the upstream repartition —
+    # at real scale the scan has many splits and this is automatic.
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").repartition(16)
+        skew_key = (F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+                    .otherwise(F.col("l_orderkey"))).alias("k")
+        left = li.select(skew_key, "l_quantity")
+        right = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice")
+        joined = left.join(right, "k")
+        joined.collect()  # AQE decides at runtime; plan final after action
+        plan = physical_plan(joined)
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

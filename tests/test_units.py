@@ -120,3 +120,23 @@ def test_approx_sketch_accuracy_contract(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd).alias("approx"),
         F.countDistinct("user_id").alias("exact")).collect()[0])
     assert abs(got["approx"] - got["exact"]) <= max(3 * rsd * got["exact"], 3)
+
+
+def test_approx_percentile_accuracy_contract(spark, sf_dir):
+    # percentile_approx is sketch-backed (KLL/GK-style); its contract
+    # is rank accuracy: with accuracy parameter A, the returned value's
+    # rank error is <= n/A. Check the estimate's true rank lands within
+    # that band of the target rank for p50/p90/p99.
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    acc = 1000
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc)
+        .alias("est")).collect()[0]
+    for p, est in zip([0.5, 0.9, 0.99], row["est"]):
+        true_rank = li.filter(F.col("l_extendedprice") <= est).count()
+        assert abs(true_rank - p * n) <= n / acc + 1, (p, est)
