@@ -138,3 +138,40 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"),
              F.sum("l_extendedprice").cast("float").alias("total"))
     )
+
+
+@query(
+    "join_null_skew_hygiene",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                    ELSE l_orderkey END AS k,
+               l_linenumber, l_quantity, l_orderkey
+        FROM lineitem)
+    SELECT l.l_orderkey, l.l_linenumber, l.k, l.l_quantity, o.o_totalprice
+    FROM l LEFT JOIN orders o ON l.k = o.o_orderkey
+    """,
+)
+def join_null_skew_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew hygiene: in a left join where a third of the keys
+    are NULL, the naive plan hashes every NULL row into ONE shuffle
+    partition — a guaranteed straggler at scale even though NULL never
+    matches anything. The hygienic plan splits the stream: non-null
+    rows shuffle and join; NULL rows bypass the shuffle entirely and
+    union back with a NULL payload. Same result as the naive left
+    join (the oracle IS the naive left join), strictly better
+    physics — the union leg is a scan-through, no exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_linenumber", "l_quantity", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_totalprice")
+    matched = (li.filter(F.col("k").isNotNull())
+               .join(o, F.col("k") == F.col("o_orderkey"), "left")
+               .select("l_orderkey", "l_linenumber", "k", "l_quantity",
+                       "o_totalprice"))
+    nulls = (li.filter(F.col("k").isNull())
+             .select("l_orderkey", "l_linenumber", "k", "l_quantity",
+                     F.lit(None).cast("double").alias("o_totalprice")))
+    return matched.unionByName(nulls)

@@ -271,3 +271,17 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_null_skew_hygiene_null_leg_has_no_exchange(spark, sf_dir):
+    # the NULL-key leg must reach the union without any exchange —
+    # only the non-null leg shuffles for the join
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["join_null_skew_hygiene"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Union" in plan
+    # the null leg is the Union child after the join subtree; it must
+    # be exchange-free: count exchanges overall — the join needs at
+    # most 2 (one per side; broadcast replaces one), the null leg adds 0
+    assert plan.count("Exchange") <= 2 + plan.count("BroadcastExchange")
