@@ -315,3 +315,41 @@ def agg_correlation_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("float").alias("price_per_qty_slope"),
         )
     )
+
+
+@query(
+    "agg_median_boolean_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(median(l_quantity), 6) AS REAL) AS med_qty,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.05) AS any_discounted,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + boolean/conditional aggregates + a serialized
+    distinct-set — the aggregate surface beyond sum/avg/minmax:
+    ``median`` (exact, interpolated at even counts in both engines),
+    ``count_if``, ``bool_and``/``bool_or``, and ``collect_set``
+    serialized sorted so the set crosses the hash boundary
+    deterministically. One grouped pass; the median requires a
+    per-group sort internally — at scale prefer ``percentile_approx``
+    (its accuracy contract is pinned by
+    ``test_approx_percentile_accuracy_contract``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).cast("float")
+            .alias("med_qty"),
+            F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",")
+            .alias("statuses"),
+        )
+    )

@@ -477,3 +477,41 @@ def fn_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_timestamp(full, "yyyy-MM-dd HH:mm:ss") == od)
         .alias("roundtrip_ok"),
     )
+
+
+@query(
+    "fn_xml_extract",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderkey,
+               '<o><k>' || o_orderkey || '</k><s>' || o_orderstatus ||
+               '</s><p>' || o_orderpriority || '</p></o>' AS xml
+        FROM orders WHERE o_orderkey % 50 = 0)
+    SELECT o_orderkey, xml,
+           CAST(regexp_extract(xml, '<k>(-?\\d+)</k>', 1) AS BIGINT) AS k,
+           regexp_extract(xml, '<s>(.*?)</s>', 1) AS s,
+           regexp_extract(xml, '<p>(.*?)</p>', 1) AS p
+    FROM x
+    """,
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion battery (Spark 4 ``from_xml``): build a
+    deterministic XML document per sampled order, parse it back with a
+    pinned struct schema, and extract typed fields. The parse happens
+    JVM-side in one projection — no UDF. The oracle recovers the same
+    fields with regexes (DuckDB has no XML type), which also documents
+    the fallback for engines without native XML."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"),
+        F.lit("</k><s>"), F.col("o_orderstatus"),
+        F.lit("</s><p>"), F.col("o_orderpriority"),
+        F.lit("</p></o>")).alias("xml")
+    x = o.select("o_orderkey", xml)
+    parsed = F.from_xml("xml", "k BIGINT, s STRING, p STRING")
+    return x.select(
+        "o_orderkey", "xml",
+        parsed.getField("k").alias("k"),
+        parsed.getField("s").alias("s"),
+        parsed.getField("p").alias("p"))

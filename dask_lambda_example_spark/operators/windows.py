@@ -368,3 +368,33 @@ def win_cumprod_compounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.sum(F.log(1 + F.col("l_discount"))).over(w)), 6)
         .cast("float").alias("cum_factor"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nth_value(l_extendedprice, 2) OVER w AS second_price,
+           first_value(l_linenumber) OVER w AS first_line
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` over the full-partition frame (the "second line
+    item's price" per order) — completes the positional window family
+    next to first/last. l_linenumber repeats within an order in this
+    synthetic data, so the sort carries a price tie-break — positional
+    window functions are only well-defined under a total order. Partitioned by the high-cardinality order key,
+    so parallelism scales with data (contrast with the documented
+    low-cardinality rank windows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_orderkey")
+         .orderBy("l_linenumber", "l_extendedprice")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        F.first("l_linenumber").over(w).alias("first_line"))

@@ -140,3 +140,33 @@ def test_approx_percentile_accuracy_contract(spark, sf_dir):
     for p, est in zip([0.5, 0.9, 0.99], row["est"]):
         true_rank = li.filter(F.col("l_extendedprice") <= est).count()
         assert abs(true_rank - p * n) <= n / acc + 1, (p, est)
+
+
+def test_binaryfile_source_reads_media_objects(spark):
+    # the object-ingest half of the multimodal story: opaque media
+    # bytes land as files; the binaryFile source reads (path, length,
+    # content) without decoding — the schema convention
+    # operators/multimodal.py builds on. Deterministic fake media
+    # bytes; content round-trips bit-exact.
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="media_")
+    blobs = {}
+    for i in range(8):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i + 1)
+        blobs[f"img_{i}.bin"] = payload
+        with open(os.path.join(d, f"img_{i}.bin"), "wb") as f:
+            f.write(payload)
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(d)
+          .select(F.element_at(F.split("path", "/"), -1).alias("name"),
+                  "length", F.md5("content").alias("digest")))
+    rows = {r["name"]: r for r in df.collect()}
+    assert len(rows) == 8
+    for name, payload in blobs.items():
+        assert rows[name]["length"] == len(payload)
+        assert rows[name]["digest"] == hashlib.md5(payload).hexdigest()
