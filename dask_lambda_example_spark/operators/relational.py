@@ -202,3 +202,30 @@ def reshape_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "fn_one_hot_encode",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(f"CAST(lang = '{lg}' AS INT) AS lang_{lg}"
+                      for lg in LANGS)}
+    FROM documents
+    """,
+)
+def fn_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_dummies`` analog (dask.dataframe API parity): one-hot the
+    bounded-cardinality ``lang`` column into indicator columns. Pure
+    projection — shuffle-free, codegen'd CASE expressions; the category
+    set is pinned up front (at scale you derive it once from a
+    dictionary scan, never per-row). MLlib's ``OneHotEncoder`` emits
+    sparse vectors instead; indicator columns are the dataframe-native
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[(F.col("lang") == lg).cast("int").alias(f"lang_{lg}")
+          for lg in LANGS])

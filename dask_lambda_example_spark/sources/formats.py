@@ -310,3 +310,63 @@ def fmt_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+N_RANGE_FILES = 4
+
+
+@query(
+    "fmt_range_sorted_layout",
+    oracle=f"""
+    SELECT CAST(1 AS BOOLEAN) AS ranges_disjoint,
+           {N_RANGE_FILES} AS n_files,
+           count(*) AS n_rows,
+           CAST(round(sum(l_extendedprice), 6) AS REAL) AS sum_price
+    FROM lineitem
+    """,
+)
+def fmt_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered data layout ("Z-order lite", one dimension):
+    ``repartitionByRange`` + ``sortWithinPartitions`` on ``l_shipdate``
+    writes parquet whose files cover DISJOINT date ranges with sorted
+    row groups — so every engine's footer-stats pruning (min/max zone
+    maps) can skip whole files/row-groups for date predicates. The
+    contract is verified from the parquet footers themselves (pyarrow):
+    per-file (min, max) intervals must not overlap; the boolean in the
+    output row is that assertion, alongside bit-level data preservation
+    checked by the oracle. At 100 TB this is the nightly clustering
+    rewrite that makes time-ranged scans cheap without a partition
+    column per day."""
+    import pyarrow.parquet as pq
+
+    path = _dir("range_sorted")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice")
+    (li.repartitionByRange(N_RANGE_FILES, "l_shipdate")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(path))
+
+    local = path.removeprefix("file://")
+    spans = []
+    for f in os.listdir(local):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(local, f))
+        idx = md.schema.names.index("l_shipdate")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    disjoint = all(spans[i][1] <= spans[i + 1][0]
+                   for i in range(len(spans) - 1))
+
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.lit(bool(disjoint)).alias("ranges_disjoint"),
+        F.lit(len(spans)).alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 6).cast("float")
+        .alias("sum_price"),
+    )
