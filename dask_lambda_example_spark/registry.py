@@ -85,15 +85,21 @@ PRIORITY_QUERIES = (
     "sim_vector_math", "sim_cosine_topk_bruteforce", "src_python_datasource",
     "sim_ann_signlsh_topk", "stream_stream_left_outer", "sim_ivf_search",
     "text_token_stats", "text_langid_heuristic", "text_quality_score",
-    "text_fingerprint", "text_tfidf_top_terms", "text_term_frequency",
+    "text_tfidf_top_terms",
+    # round-2 session-2 marquee families (clustering, CDC, incremental
+    # rollup, dataset profiling) — swapped in for four same-family
+    # redundancies (text_fingerprint, text_term_frequency,
+    # ev_transition_paths, udf_map_in_pandas — all stay registered and
+    # builder-green after the window)
+    "ml_kmeans_lloyd", "cdc_snapshot_diff", "ts_rollup_incremental",
+    "profile_dataset_card",
     # event analytics
     "ev_sessionization", "ev_funnel_conversion", "ev_retention_cohorts",
-    "ev_transition_paths",
     # multimodal plumbing
     "mm_media_metadata", "mm_feature_extract",
     # pandas-UDF surface
     "udf_pandas_scalar", "udf_apply_in_pandas_zscore",
-    "udf_grouped_agg_weighted_mean", "udf_map_in_pandas",
+    "udf_grouped_agg_weighted_mean",
     "udf_real_python_udtf",
     # custom operators / physical strategies
     "ts_asof_join_backward", "join_salted_skew", "join_bucketed_colocated",
