@@ -468,3 +468,90 @@ def ts_scd2_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_events"))
         .drop("island")
     )
+
+
+SUBSEQ_LEN = 24
+SUBSEQ_TOPK = 5
+
+
+def _subseq_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(CAST(round(avg(value), 6) AS REAL) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, hr),
+    idx AS (
+        SELECT event_type, hr, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+        FROM hourly),
+    win AS (
+        SELECT event_type, hr, i,
+               list(v) OVER (PARTITION BY event_type ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND {SUBSEQ_LEN - 1} FOLLOWING) AS w
+        FROM idx),
+    full_win AS (SELECT * FROM win WHERE len(w) = {SUBSEQ_LEN}),
+    probe AS (
+        SELECT w AS pw FROM full_win WHERE event_type = 'click'
+        ORDER BY i DESC LIMIT 1),
+    scored AS (
+        SELECT f.event_type, f.hr,
+               list_sum(list_transform(generate_series(1, {SUBSEQ_LEN}),
+                        j -> (f.w[j] - p.pw[j]) * (f.w[j] - p.pw[j])))
+                   AS dist
+        FROM full_win f, probe p)
+    SELECT event_type, hr, CAST(round(dist, 6) AS REAL) AS dist
+    FROM scored ORDER BY dist, event_type, hr LIMIT {SUBSEQ_TOPK}
+    """
+
+
+@query("ts_subseq_similarity", oracle=_subseq_oracle())
+def ts_subseq_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the UCR-suite shape
+    distributed engines specialize for — REPOSE/Odyssey territory):
+    find the {k} sampled {n}-hour windows, across every event type's
+    hourly series, closest in squared Euclidean distance to a probe
+    window (the latest full window of the 'click' series).
+
+    Plan shape: ONE pass builds every candidate subsequence via a
+    sliding window-frame ``collect_list`` over the hourly aggregate
+    (series-length rows per type, never the raw events); the probe is a
+    1-row broadcast; distance is an in-order JVM fold over the paired
+    arrays. Hourly values are quantized round(6)→float32→double before
+    windowing so both engines slide over bit-identical series (same
+    trick as the k-means centroid re-quantization). At 100 TB the
+    hourly series table is ~10⁴ smaller than raw events — the sliding
+    search is cheap; the aggregation is the one heavy (and
+    partial-agg-combined) pass."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.round(F.avg("value"), 6).cast("float").cast("double")
+             .alias("v"))
+    )
+    w_idx = W.partitionBy("event_type").orderBy("hr")
+    idx = hourly.withColumn("i", F.row_number().over(w_idx))
+    w_seq = (W.partitionBy("event_type").orderBy("i")
+             .rowsBetween(W.currentRow, SUBSEQ_LEN - 1))
+    win = idx.withColumn("w", F.collect_list("v").over(w_seq))
+    full_win = win.filter(F.size("w") == SUBSEQ_LEN)
+    probe = (full_win.filter(F.col("event_type") == "click")
+             .orderBy(F.desc("i")).limit(1)
+             .select(F.col("w").alias("pw")))
+    dist = F.aggregate(
+        F.zip_with(F.col("w"), F.col("pw"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        full_win.crossJoin(F.broadcast(probe))
+        .select("event_type", "hr", dist.alias("dist"))
+        .orderBy("dist", "event_type", "hr")
+        .limit(SUBSEQ_TOPK)
+        .select("event_type", "hr",
+                F.round("dist", 6).cast("float").alias("dist"))
+    )
+
+
+ts_subseq_similarity.__doc__ = ts_subseq_similarity.__doc__.format(
+    k=SUBSEQ_TOPK, n=SUBSEQ_LEN)

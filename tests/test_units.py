@@ -170,3 +170,26 @@ def test_binaryfile_source_reads_media_objects(spark):
     for name, payload in blobs.items():
         assert rows[name]["length"] == len(payload)
         assert rows[name]["digest"] == hashlib.md5(payload).hexdigest()
+
+
+def test_hll_sketch_merge_equals_direct(spark, sf_dir):
+    # the mergeability contract behind 100 TB distinct-count rollups:
+    # per-group Datasketches HLL sketches, unioned, must estimate the
+    # SAME value as one direct full-table sketch — so pre-aggregated
+    # sketch columns can be stored per partition/day and rolled up
+    # without ever rescanning raw data (the incremental-rollup story,
+    # ts_rollup_incremental, extended to non-algebraic distincts).
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    per_group = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    assert merged == direct
