@@ -132,3 +132,43 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_kmeans_lloyd.__doc__ = ml_kmeans_lloyd.__doc__.format(k=KM_K, n=KM_ITERS)
+
+
+@query(
+    "ml_gram_matrix",
+    oracle="""
+    WITH expl AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings)
+    SELECT a.i, b.i AS j,
+           CAST(round(sum(a.v * b.v), 6) AS REAL) AS g
+    FROM expl a JOIN expl b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Eᵀ·E of the tall-skinny embedding
+    matrix (n × 64) — the building block behind PCA/whitening/linear
+    probes over corpus embeddings, and the canonical "fused operator"
+    benchmark shape of distributed matrix engines (FuseME-style): the
+    n-dimension reduces away in ONE pass, the output is dim² rows
+    regardless of corpus size.
+
+    Plan: posexplode each vector once, self-join per vec_id (64×64
+    pairs per row, upper triangle only — the matrix is symmetric),
+    then one (i, j)-keyed sum with map-side combine collapsing each
+    partition to ≤ dim² rows before the only shuffle. No driver-side
+    matrix, no collect; at 100 TB the result is still 4096 rows."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("emb")))
+    expl = (e.select("vec_id", F.posexplode("emb").alias("p", "v"))
+            .select("vec_id", (F.col("p") + 1).alias("i"), "v"))
+    a, b = expl.alias("a"), expl.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+               & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.round(F.sum(F.col("a.v") * F.col("b.v")), 6).cast("float")
+             .alias("g"))
+    )

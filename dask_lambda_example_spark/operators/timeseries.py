@@ -555,3 +555,43 @@ def ts_subseq_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ts_subseq_similarity.__doc__ = ts_subseq_similarity.__doc__.format(
     k=SUBSEQ_TOPK, n=SUBSEQ_LEN)
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type, value,
+               date_diff('microsecond', ts,
+                         lead(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)) / 1e6
+                   AS dt
+        FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(round(sum(dt), 6) AS REAL) AS total_sec,
+           CAST(round(sum(value * dt) / sum(dt), 6) AS REAL) AS twa
+    FROM nxt WHERE dt IS NOT NULL GROUP BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TWAP shape): each observation is
+    weighted by how long it was "current" — the time until the next
+    observation in its series — so irregular sampling doesn't bias the
+    mean toward burst periods. One lead() window keyed by the series
+    (deterministic (ts, event_id) order) followed by one grouped
+    reduction; the open-ended final observation is excluded. This is
+    the correct aggregate for sensor/price series where plain avg()
+    answers a different question (per-sample mean, not per-second)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dt = ((F.unix_micros(F.lead("ts").over(w))
+           - F.unix_micros(F.col("ts"))) / 1e6).alias("dt")
+    nxt = e.select("event_type", "value", dt).filter(F.col("dt").isNotNull())
+    return (
+        nxt.groupBy("event_type")
+        .agg(F.count("*").alias("n_intervals"),
+             F.round(F.sum("dt"), 6).cast("float").alias("total_sec"),
+             F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6)
+             .cast("float").alias("twa"))
+    )
