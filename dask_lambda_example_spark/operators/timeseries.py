@@ -595,3 +595,36 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6)
              .cast("float").alias("twa"))
     )
+
+
+@query(
+    "ts_timezone_battery",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                AS TIMESTAMP) AS ny,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+                AS TIMESTAMP) AS tokyo,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin'
+                AS TIMESTAMP) AS berlin
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def ts_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion battery: UTC wall-clock instants rendered in
+    three IANA zones (one with US DST, one fixed-offset, one with EU
+    DST — the January dataset pins the winter offsets). Both engines
+    resolve the same tzdata rules; ``convert_timezone`` is a pure
+    projection, so this costs nothing at any scale. The reference
+    computes in naive UTC only (``dask_processing.py:29``) — zone
+    rendering is a presentation-layer capability its users would
+    otherwise hand-roll."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0)
+    ntz = F.col("ts").cast("timestamp_ntz")
+    return e.select(
+        "event_id",
+        *[F.convert_timezone(F.lit("UTC"), F.lit(z), ntz)
+          .cast("timestamp").alias(a)
+          for z, a in [("America/New_York", "ny"), ("Asia/Tokyo", "tokyo"),
+                       ("Europe/Berlin", "berlin")]])

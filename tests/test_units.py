@@ -193,3 +193,77 @@ def test_hll_sketch_merge_equals_direct(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
     ).first()["est"]
     assert merged == direct
+
+
+def test_pca_projection_from_gram_matrix(spark, sf_dir):
+    # PCA the scalable way: the dim x dim Gram/covariance matrix is the
+    # ONLY thing that leaves the cluster (4096 values, corpus-size
+    # independent); eigendecomposition happens driver-side; the
+    # projection onto the top components is a broadcast matrix multiply
+    # back on the corpus. Invariants checked: projected components are
+    # uncorrelated (diagonal covariance) and their variances equal the
+    # top eigenvalues of the centered covariance.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.functions.vector import as_double
+    from dask_lambda_example_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    n = e.count()
+    # mean vector + Gram via one exploded aggregation each
+    expl = e.select("vec_id", F.posexplode("emb").alias("i", "v"))
+    mean = np.zeros(64)
+    for r in expl.groupBy("i").agg(F.avg("v").alias("m")).collect():
+        mean[r["i"]] = r["m"]
+    a, b = expl.alias("a"), expl.alias("b")
+    gram = np.zeros((64, 64))
+    for r in (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                     & (F.col("a.i") <= F.col("b.i")))
+              .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+              .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("g"))
+              .collect()):
+        gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["g"]
+    cov = gram / n - np.outer(mean, mean)          # centered covariance
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, ::-1][:, :3]                    # top-3 components
+    # distributed projection: broadcast the 64x3 matrix as literals
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(F.col("emb"),
+                       F.array(*[F.lit(float(x)) for x in top[:, c]]),
+                       lambda p, q: p * q),
+            F.lit(0.0), lambda acc, x: acc + x).alias(f"pc{c}")
+        for c in range(3)]
+    pdf = e.select(*proj_cols).toPandas()
+    pcov = np.cov(pdf.values, rowvar=False, bias=True)
+    for c in range(3):
+        assert abs(pcov[c, c] - evals[::-1][c]) < 1e-6 * max(1, evals[-1])
+    offdiag = pcov - np.diag(np.diag(pcov))
+    assert np.abs(offdiag).max() < 1e-8
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
+    # ANALYZE TABLE pushes row counts and column NDVs into the catalog;
+    # the optimizer's Statistics must reflect them — the plumbing CBO
+    # join decisions depend on for catalog tables (file relations fall
+    # back to size-on-disk).
+    import uuid
+
+    from dask_lambda_example_spark.io import load_table
+
+    tbl = f"nation_stats_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "nation").write.saveAsTable(tbl)
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+                  f"FOR COLUMNS n_nationkey")
+        stats = (spark.table(tbl)._jdf.queryExecution()
+                 .optimizedPlan().stats())
+        assert stats.rowCount().isDefined()
+        assert int(stats.rowCount().get()) == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
