@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader)
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    SimpleDataSourceStreamReader, WriterCommitMessage)
 
 from dask_lambda_example_spark.registry import query
 
@@ -215,3 +216,91 @@ def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("qty").alias("total_qty"),
              F.round(F.sum("price"), 6).cast("float").alias("total_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# write path: custom Python data SINK (the connector seam outbound)
+# ---------------------------------------------------------------------------
+
+
+class JsonlSinkDataSource(DataSource):
+    """``format("jsonl_sink")`` — a user-defined WRITE connector: each
+    task serializes its partition to one JSON-lines file under
+    ``path``; the driver-side ``commit`` writes a manifest listing the
+    committed files (the two-phase commit seam a real external sink —
+    REST batch endpoint, queue producer, bespoke format — plugs into).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options["path"])
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        # executor-side: one file per task, name from the task context
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        # driver-side: all tasks succeeded → publish the manifest
+        import os
+
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            f.write(f"tasks={len(list(messages))}\n")
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        pass
+
+
+@query(
+    "src_python_datasink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def src_python_datasink_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Write through the registered Python data SINK, read back, and
+    value-check against the source rows — the outbound half of the
+    user-defined connector seam (the inbound half is
+    ``src_python_datasource``). Doubles survive because Python's json
+    emits shortest-round-trip representations and the schema-pinned
+    read parses them back to the identical bits. The commit protocol
+    (per-task file + driver manifest) is the structure a real external
+    sink needs for exactly-once publishes."""
+    import os
+    import tempfile
+
+    from dask_lambda_example_spark.io import load_table
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    rows = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    (rows.write.format("jsonl_sink").option("path", out)
+     .mode("append").save())
+    assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    return (spark.read
+            .schema("o_orderkey bigint, o_orderstatus string, "
+                    "o_totalprice double")
+            .option("pathGlobFilter", "*.jsonl").json(out))

@@ -172,3 +172,46 @@ def test_checkpoint_recovery_exactly_once(spark):
     assert out.select("id").distinct().count() == 250
     total = out.agg(F.sum("v")).first()[0]
     assert total == sum(2 * i for i in range(250))
+
+
+def test_foreach_batch_cdc_upsert_log(spark):
+    """Streaming CDC apply: each micro-batch of keyed updates is
+    appended to a versioned log (seq = batch id from the checkpoint —
+    monotonic across restarts); the serving view is latest-seq-per-key.
+    Across two availableNow runs with overlapping key ranges, the view
+    must show last-writer-wins per key — the streaming half of the
+    batch cdc_apply_upsert operator, without ever rewriting the table
+    in place."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    log = tempfile.mkdtemp(prefix="cdc_log_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+
+    def apply_batch(batch_df, batch_id):
+        (batch_df.withColumn("seq", F.lit(batch_id))
+         .write.mode("append").parquet(log))
+
+    def run_once():
+        q = (spark.readStream.schema("k LONG, v LONG").parquet(src)
+             .writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.range(50, 150).selectExpr("id AS k", "id * 100 AS v") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    view = (spark.read.parquet(log)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").select("k", "v"))
+    got = {r["k"]: r["v"] for r in view.collect()}
+    assert len(got) == 150
+    for k in range(150):
+        assert got[k] == (k * 100 if k >= 50 else k * 10), k
