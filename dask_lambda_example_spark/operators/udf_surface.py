@@ -236,3 +236,60 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_orderkey long, l_linenumber int, net_price double, qty long")
     return raw.select("l_orderkey", "l_linenumber",
                       F.round("net_price", 6).alias("net_price"), "qty")
+
+
+@query(
+    "udf_polymorphic_udtf_analyze",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           event_type AS type
+    FROM events WHERE event_id % 40 = 0
+    """,
+)
+def udf_polymorphic_udtf_analyze(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is not declared
+    statically — ``analyze()`` computes it at plan time from a constant
+    argument (here a CSV of field names to project out of a JSON
+    payload, each becoming its own typed column). This is the Spark 4
+    contract for schema-on-demand table functions (CSV explorers,
+    pivot-like expanders, config-driven extractors) — the planner sees
+    real columns, so everything above the UDTF is ordinary Catalyst.
+    The JSON field lands as BIGINT via analyze-declared types; the
+    oracle extracts the same fields with json_extract."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonFields:
+        @staticmethod
+        def analyze(row_id: AnalyzeArgument, payload: AnalyzeArgument,
+                    extra: AnalyzeArgument,
+                    fields: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType().add("event_id", "long")
+            for name in fields.value.split(","):
+                typ = "long" if name == "k" else "string"
+                schema = schema.add(name if name != "event_type" else "type",
+                                    typ)
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row_id: int, payload: str, extra: str, fields: str):
+            import json as _json
+
+            doc = _json.loads(payload)
+            out = [row_id]
+            for name in fields.split(","):
+                out.append(doc.get(name) if name in doc else extra)
+            yield tuple(out)
+
+    poly = udtf(JsonFields)
+    spark.udtf.register("json_fields", poly)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT t.event_id, t.k, t.type
+        FROM events_v,
+             LATERAL json_fields(event_id, props, event_type,
+                                 'k,event_type') t
+        WHERE events_v.event_id % 40 = 0
+    """)
