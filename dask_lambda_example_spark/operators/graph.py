@@ -79,9 +79,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
         .distinct()
     )
+    # the union of the two directed halves is already distinct: e0 is
+    # distinct and the 'c'/'s' prefixes make src/dst namespaces disjoint
     edges = (e0.union(e0.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
-             .distinct()
              .localCheckpoint(eager=True))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -162,7 +163,7 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct())
     edges = (e0.union(e0.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
+             .localCheckpoint(eager=True))  # halves disjoint -> distinct
     edges.createOrReplaceTempView("rcte_edges_v")
     return spark.sql(_RCTE_SQL.format(edges="rcte_edges_v"))
 
