@@ -515,3 +515,38 @@ def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         parsed.getField("s").alias("s"),
         parsed.getField("p").alias("p"))
+
+
+@query(
+    "fn_csv_parse",
+    oracle="""
+    WITH lines AS (
+        SELECT o_orderkey,
+               o_orderkey || ',' || o_orderstatus || ',' ||
+               o_orderpriority AS line
+        FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT o_orderkey, line,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS k,
+           string_split(line, ',')[2] AS s,
+           string_split(line, ',')[3] AS p
+    FROM lines
+    """,
+)
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-CSV parsing (``from_csv``): a delimited payload column
+    parsed against a pinned schema in one JVM projection — the typed
+    sibling of ``split()`` for CSV-in-a-column ingest (log lines,
+    legacy exports). The oracle recovers the fields positionally with
+    string_split, documenting the fallback when a schema-aware parser
+    isn't available."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0)
+    line = F.concat_ws(",", "o_orderkey", "o_orderstatus",
+                       "o_orderpriority").alias("line")
+    x = o.select("o_orderkey", line)
+    parsed = F.from_csv("line", F.lit("k BIGINT, s STRING, p STRING"))
+    return x.select(
+        "o_orderkey", "line",
+        parsed.getField("k").alias("k"),
+        parsed.getField("s").alias("s"),
+        parsed.getField("p").alias("p"))
