@@ -128,3 +128,61 @@ def profile_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kl_term"),
         )
     )
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint, 
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'discount_in_unit_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the deequ/dbt-test
+    shape): uniqueness, referential integrity, range, non-null, and
+    domain constraints evaluated in one job, one row per constraint
+    with its violation count — the gate a corpus build runs before
+    publishing a cut. Each check is expressed as the aggregate its
+    plan class wants: the FK check is a LEFT ANTI join (no pair
+    explosion), uniqueness is count vs distinct-count in one pass,
+    the rest are filter-counts that push down to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = o.agg((F.count("*") - F.countDistinct("o_orderkey"))
+               .alias("violations"))
+    fk = (li.join(o.select("o_orderkey"),
+                  li.l_orderkey == o.o_orderkey, "left_anti")
+          .agg(F.count("*").alias("violations")))
+    rng = (li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+           .agg(F.count("*").alias("violations")))
+    nn = (o.filter(F.col("o_custkey").isNull())
+          .agg(F.count("*").alias("violations")))
+    dom = (o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+           .agg(F.count("*").alias("violations")))
+    checks = [("orders_pk_unique", pk), ("lineitem_fk_orders", fk),
+              ("discount_in_unit_range", rng), ("custkey_not_null", nn),
+              ("status_in_domain", dom)]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("constraint"), "violations")
+        out = row if out is None else out.unionByName(row)
+    return out
