@@ -172,3 +172,44 @@ def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("a.v") * F.col("b.v")), 6).cast("float")
              .alias("g"))
     )
+
+
+N_BINS = 10
+
+
+@query(
+    "ml_quantile_binning",
+    oracle=f"""
+    WITH th AS (
+        SELECT quantile_cont(n_chars, [{", ".join(str(i / N_BINS) for i in range(1, N_BINS))}])
+               AS qs
+        FROM documents)
+    SELECT d.doc_id, d.n_chars,
+           CAST(1 + len(list_filter(th.qs, q -> q < d.n_chars)) AS INT)
+               AS bin
+    FROM documents d, th
+    """,
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning ({n} equal-frequency buckets over document
+    length) the scale-safe way: exact interior quantile thresholds come
+    from ONE aggregation (``percentile``, interpolated — both engines
+    compute the same order statistic), broadcast as a tiny array, and
+    each row's bin is the count of thresholds strictly below its value
+    — a pure projection. Contrast with ``ntile()``, which drags the
+    whole table through one ordered window partition; this shape's
+    only full pass is the threshold aggregation. (MLlib's
+    ``QuantileDiscretizer`` is the approximate-sketch variant of the
+    same design.)"""
+    d = load_table(spark, sf_dir, "documents")
+    probs = [i / N_BINS for i in range(1, N_BINS)]
+    th = d.agg(F.expr(
+        f"percentile(n_chars, array({', '.join(map(str, probs))}))")
+        .alias("qs"))
+    bin_col = (1 + F.size(F.filter(
+        F.col("qs"), lambda q: q < F.col("n_chars")))).cast("int")
+    return (d.crossJoin(F.broadcast(th))
+            .select("doc_id", "n_chars", bin_col.alias("bin")))
+
+
+ml_quantile_binning.__doc__ = ml_quantile_binning.__doc__.format(n=N_BINS)

@@ -267,3 +267,47 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    # DataFrameStatFunctions.freqItems implements Karp et al.'s
+    # streaming heavy-hitters: the result may contain false positives
+    # but MUST contain every value whose support exceeds the given
+    # threshold — the one-pass guarantee that makes it usable for
+    # skew-key discovery before a join (feeding join_salted_skew).
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    support = 0.15
+    got = set(e.stat.freqItems(["event_type"], support)
+              .first()["event_type_freqItems"])
+    n = e.count()
+    truly_frequent = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count()
+        .filter(F.col("count") > support * n).collect()}
+    assert truly_frequent <= got
+
+
+def test_sample_by_stratified_proportions(spark, sf_dir):
+    # seeded sampleBy is the RNG-based stratified sampler (the
+    # hash-gate variant, sample_stratified_hash, is the
+    # engine-replicable one); per-stratum sample rates must land near
+    # the requested fractions and be reproducible for a fixed seed.
+    from dask_lambda_example_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.2}
+    s1 = d.sampleBy("lang", fractions, seed=7)
+    s2 = d.sampleBy("lang", fractions, seed=7)
+    assert s1.count() == s2.count()  # deterministic under a fixed seed
+    base = {r["lang"]: r["count"] for r in
+            d.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in
+           s1.groupBy("lang").count().collect()}
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / base[lang]
+        assert abs(rate - frac) < 0.15, (lang, rate)
+    assert set(got) <= set(fractions)  # unlisted strata excluded
