@@ -628,3 +628,94 @@ def ts_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
           .cast("timestamp").alias(a)
           for z, a in [("America/New_York", "ny"), ("Asia/Tokyo", "tokyo"),
                        ("Europe/Berlin", "berlin")]])
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH samples AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(CAST(round(avg(value), 6) AS REAL) AS DOUBLE) AS v
+        FROM events WHERE user_id % 50 = 0
+        GROUP BY event_type, hr),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(hr), max(hr),
+                                      INTERVAL 1 HOUR)) AS hr
+        FROM samples GROUP BY event_type),
+    joined AS (
+        SELECT s.event_type, s.hr, m.v,
+               epoch(s.hr) / 3600 AS i
+        FROM spine s LEFT JOIN samples m
+          ON m.event_type = s.event_type AND m.hr = s.hr),
+    ctx AS (
+        SELECT event_type, hr, v, i,
+               last_value(v IGNORE NULLS) OVER w AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER w AS pi,
+               first_value(v IGNORE NULLS) OVER w2 AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER w2 AS ni
+        FROM joined
+        WINDOW w AS (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY event_type ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hr, v IS NOT NULL AS observed,
+           CAST(round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (i - pi) / (ni - pi)
+           END, 6) AS REAL) AS v_filled
+    FROM ctx
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with linear interpolation (the continuous-aggregate
+    ``interpolate``/``locf`` shape): a thinned hourly series (~5% of
+    hours observed) is densified onto a complete per-key hour spine
+    (``sequence`` + explode — generated, never scanned), then every
+    missing hour gets the linear blend of its bracketing observations
+    (edges fall back to nearest). Forward/backward context comes from
+    two ``IGNORE NULLS`` window passes over the SAME key partitioning —
+    one shuffle serves spine build and both fills. Observed values are
+    quantized before interpolation so both engines blend bit-identical
+    inputs."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0)
+    samples = (
+        e.groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.round(F.avg("value"), 6).cast("float").cast("double")
+             .alias("v")))
+    spine = (
+        samples.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select("event_type",
+                F.explode(F.sequence(
+                    "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")))
+    joined = (
+        spine.join(samples, ["event_type", "hr"], "left")
+        .withColumn("i", F.unix_timestamp("hr") / 3600))
+    w_back = (W.partitionBy("event_type").orderBy("i")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_fwd = (W.partitionBy("event_type").orderBy("i")
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_i = F.when(F.col("v").isNotNull(), F.col("i"))
+    ctx = joined.select(
+        "event_type", "hr", "v", "i",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_i, ignorenulls=True).over(w_back).alias("pi"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_i, ignorenulls=True).over(w_fwd).alias("ni"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv"))
+                   * (F.col("i") - F.col("pi"))
+                   / (F.col("ni") - F.col("pi"))))
+    return ctx.select(
+        "event_type", "hr", F.col("v").isNotNull().alias("observed"),
+        F.round(filled, 6).cast("float").alias("v_filled"))
