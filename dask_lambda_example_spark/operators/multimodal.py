@@ -167,3 +167,78 @@ def mm_decode_fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return imgs.mapInPandas(decode, schema="doc_id long, width int, height int")
+
+
+FRAME_LEN = 32        # bytes per synthetic frame
+N_FRAMES = 12         # frames per synthetic clip
+FRAME_STRIDE = 4      # keep every 4th frame
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, f.f AS frame_idx,
+               md5(substring(repeat(CAST(doc_id * 1000 + f.f AS VARCHAR)
+                                    || '|', {FRAME_LEN}),
+                             1, {FRAME_LEN})) AS frame_md5
+        FROM documents,
+             (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS f) f
+        WHERE doc_id % 10 = 0 AND f.f % {FRAME_STRIDE} = 0)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_md5
+    FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: each sampled document carries a
+    synthetic "clip" — {n} fixed-length frames concatenated into one
+    binary payload — and the operator keeps every {s}th frame,
+    emitting its index and content digest. The byte-slicing runs in
+    ONE Arrow-batched ``mapInPandas`` pass (the codec seam: a real
+    decoder would replace the slicing, same signature, same batch
+    shape); bytes never shuffle — only (doc_id, frame_idx, digest)
+    rows leave the pass. The clip bytes are deterministic, so the
+    oracle rebuilds each kept frame and its md5 exactly — the
+    plumbing is value-checked even though the "video" is synthetic."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 10 == 0))
+    # clip = concat of frames; frame f = first FRAME_LEN bytes of
+    # repeat(str(doc_id*1000+f) || '|')
+    frame = F.substring(
+        F.repeat(F.concat((F.col("doc_id") * 1000 + F.col("f"))
+                          .cast("string"), F.lit("|")), FRAME_LEN),
+        1, FRAME_LEN)
+    clips = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(
+            spark.range(N_FRAMES).select(F.col("id").cast("int")
+                                         .alias("f"))))
+        .select("doc_id", "f", F.encode(frame, "UTF-8").alias("fb"))
+        .groupBy("doc_id")
+        .agg(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("f", "fb"))),
+                 F.lit(b""),
+                 lambda acc, x: F.concat(acc, x.getField("fb")))
+             .alias("clip"))
+    )
+
+    def sample_frames(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
+                for f in range(0, N_FRAMES, FRAME_STRIDE):
+                    chunk = clip[f * FRAME_LEN:(f + 1) * FRAME_LEN]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["frame_md5"].append(
+                        hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        sample_frames, "doc_id long, frame_idx int, frame_md5 string")
+
+
+mm_frame_sample.__doc__ = mm_frame_sample.__doc__.format(
+    n=N_FRAMES, s=FRAME_STRIDE)
