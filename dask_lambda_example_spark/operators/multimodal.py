@@ -242,3 +242,72 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm_frame_sample.__doc__ = mm_frame_sample.__doc__.format(
     n=N_FRAMES, s=FRAME_STRIDE)
+
+
+IMG_W = 16            # fake image is IMG_W x IMG_W single-channel bytes
+
+
+@query(
+    "mm_resize_downsample",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id, x.x, y.y,
+               (d.doc_id * 31 + (2 * x.x) * 13 + (2 * y.y) * 7) % 251 AS p00,
+               (d.doc_id * 31 + (2 * x.x) * 13 + (2 * y.y + 1) * 7) % 251 AS p01,
+               (d.doc_id * 31 + (2 * x.x + 1) * 13 + (2 * y.y) * 7) % 251 AS p10,
+               (d.doc_id * 31 + (2 * x.x + 1) * 13 + (2 * y.y + 1) * 7) % 251 AS p11
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {IMG_W // 2 - 1})) AS x) x,
+             (SELECT unnest(generate_series(0, {IMG_W // 2 - 1})) AS y) y
+        WHERE d.doc_id % 25 = 0)
+    SELECT doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+           CAST((p00 + p01 + p10 + p11) // 4 AS INT) AS pooled
+    FROM px
+    """,
+)
+def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (2× average-pool downsample): each sampled
+    document carries a deterministic {w}×{w} single-channel byte image
+    as a BINARY column (built JVM-side — pixel(r,c) =
+    (doc_id·31 + r·13 + c·7) mod 251); one Arrow-batched
+    ``mapInPandas`` pass reinterprets the bytes as a numpy grid, floor-
+    average-pools 2×2 blocks, and emits (x, y, pooled) rows. The codec
+    seam again: a real decoder+resampler replaces the numpy kernel with
+    the same signature; bytes cross into Python once and never shuffle.
+    The oracle recomputes every pooled pixel from the same arithmetic,
+    so the array plumbing is value-checked end to end."""
+    import numpy as np
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 25 == 0).select("doc_id"))
+    pixel = lambda i: ((F.col("doc_id") * 31
+                        + (i / IMG_W).cast("int") * 13
+                        + (i % IMG_W) * 7) % 251)
+    img = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(IMG_W * IMG_W - 1)),
+                    lambda i: F.unhex(F.format_string("%02x", pixel(i)))),
+        F.lit(b""), lambda acc, x: F.concat(acc, x))
+    clips = d.select("doc_id", img.alias("img"))
+
+    def pool(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "x": [], "y": [], "pooled": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img"]):
+                grid = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    IMG_W, IMG_W).astype(np.int64)
+                half = IMG_W // 2
+                pooled = (grid[0::2, 0::2] + grid[0::2, 1::2]
+                          + grid[1::2, 0::2] + grid[1::2, 1::2]) // 4
+                for x in range(half):
+                    for y in range(half):
+                        rows["doc_id"].append(doc_id)
+                        rows["x"].append(x)
+                        rows["y"].append(y)
+                        rows["pooled"].append(int(pooled[x, y]))
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        pool, "doc_id long, x int, y int, pooled int")
+
+
+mm_resize_downsample.__doc__ = mm_resize_downsample.__doc__.format(w=IMG_W)

