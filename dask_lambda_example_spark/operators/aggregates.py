@@ -353,3 +353,39 @@ def agg_median_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("statuses"),
         )
     )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600.0, 12
+
+
+@query(
+    "agg_histogram_fixed_width",
+    oracle=f"""
+    SELECT CAST(CASE WHEN n_chars < {HIST_LO} THEN 0
+                WHEN n_chars >= {HIST_HI} THEN {HIST_BINS + 1}
+                ELSE 1 + floor((n_chars - {HIST_LO}) * {HIST_BINS}
+                               / ({HIST_HI} - {HIST_LO})) END
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n_chars) AS BIGINT) AS lo,
+           CAST(max(n_chars) AS BIGINT) AS hi
+    FROM documents GROUP BY bucket
+    """,
+)
+def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via ``width_bucket`` — the fixed-grid
+    companion to quantile binning (``ml_quantile_binning``): bucket
+    assignment is a pure projection (no thresholds to compute; the
+    oracle replicates the bucket arithmetic — DuckDB has no
+    width_bucket), the
+    histogram is one grouped count with map-side combine to ≤ bins+2
+    rows per partition. The length-distribution picture every corpus
+    report leads with."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.width_bucket("n_chars", F.lit(HIST_LO), F.lit(HIST_HI),
+                       F.lit(HIST_BINS)).cast("int").alias("bucket")
+    return (d.select(b, "n_chars")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("n_chars").alias("lo"),
+                 F.max("n_chars").alias("hi")))
