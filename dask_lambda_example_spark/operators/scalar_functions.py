@@ -550,3 +550,40 @@ def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         parsed.getField("s").alias("s"),
         parsed.getField("p").alias("p"))
+
+
+@query(
+    "fn_url_parse_battery",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://host' || (doc_id % 7) || '.example.com/path/'
+               || doc_id || '?lang=' || lang || '&src=' || source AS url
+        FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (``parse_url``): host / path / single query
+    parameter extracted JVM-side in one projection — the feed-ingest
+    companion to ``fn_url_decode`` (URLs are the join key of web-corpus
+    dedup and domain-level curation policies). The oracle recovers the
+    same parts with regexes, documenting the engine-portable fallback."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0)
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/path/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&src="),
+        F.col("source")).alias("url")
+    u = d.select("doc_id", url)
+    return u.select(
+        "doc_id", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang"))
+        .alias("lang_param"))
