@@ -587,3 +587,56 @@ def fn_url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang"))
         .alias("lang_param"))
+
+
+@query(
+    "fn_try_cast_battery",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                    ELSE 'n/a' END AS int_str,
+               CASE WHEN doc_id % 4 = 0 THEN doc_id || '.5'
+                    ELSE '' END AS dbl_str,
+               CASE WHEN doc_id % 5 = 0 THEN '2024-01-'
+                    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                    ELSE 'not-a-date' END AS date_str
+        FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id,
+           TRY_CAST(int_str AS BIGINT) AS as_int,
+           TRY_CAST(dbl_str AS DOUBLE) AS as_dbl,
+           CAST(TRY_CAST(date_str AS DATE) AS VARCHAR) AS as_date,
+           TRY_CAST(int_str AS BIGINT) IS NULL AS int_malformed
+    FROM raw
+    """,
+)
+def fn_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-ingest casting (``try_cast``): malformed strings become
+    NULL instead of failing the job — the ANSI-mode-safe way to ingest
+    dirty columns (the reference's JSON payloads arrive untyped;
+    Spark 4 runs ANSI-strict by default, where a plain CAST on one bad
+    row kills the stage). Mixed well-formed/malformed int, double, and
+    date strings, all derived deterministically; identical TRY_CAST
+    semantics in the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0)
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .otherwise(F.lit("n/a")).alias("int_str"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("doc_id").cast("string"), F.lit(".5")))
+        .otherwise(F.lit("")).alias("dbl_str"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("2024-01-"),
+                        F.lpad((1 + F.col("doc_id") % 28).cast("string"),
+                               2, "0")))
+        .otherwise(F.lit("not-a-date")).alias("date_str"))
+    return raw.select(
+        "doc_id",
+        F.expr("TRY_CAST(int_str AS BIGINT)").alias("as_int"),
+        F.expr("TRY_CAST(dbl_str AS DOUBLE)").alias("as_dbl"),
+        F.expr("TRY_CAST(date_str AS DATE)").cast("string")
+        .alias("as_date"),
+        F.expr("TRY_CAST(int_str AS BIGINT)").isNull()
+        .alias("int_malformed"))

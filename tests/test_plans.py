@@ -285,3 +285,40 @@ def test_null_skew_hygiene_null_leg_has_no_exchange(spark, sf_dir):
     # be exchange-free: count exchanges overall — the join needs at
     # most 2 (one per side; broadcast replaces one), the null leg adds 0
     assert plan.count("Exchange") <= 2 + plan.count("BroadcastExchange")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    # the row-level sibling of dynamic partition pruning: a selective
+    # filter on the build side injects a bloom filter that prunes the
+    # probe side's shuffle input at runtime — conf only. At 100 TB this
+    # is what keeps a selective dim filter from paying a full fact
+    # shuffle; locally we force it past the size thresholds.
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "P")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .agg(F.sum("l_quantity").alias("q")))
+        plan = physical_plan(j)
+        assert "bloomfiltermightcontain" in plan.lower() \
+            or "bloom_filter" in plan.lower()
+        j.collect()  # and it still computes correctly
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
