@@ -417,3 +417,42 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
                 "rank")
     )
+
+
+@query(
+    "sim_embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        WHERE vec_id % 10 = 0),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+          FROM e)
+    SELECT vec_id,
+           CAST(round(nrm, 6) AS REAL) AS norm,
+           array_to_string(
+               list_transform(emb,
+                   x -> CAST(CAST(round(x / nrm * 127, 0) AS INT)
+                             AS VARCHAR)), ' ') AS q8
+    FROM n
+    """,
+)
+def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage quantization: L2-normalize then symmetric int8
+    (scale 127) — the 4× footprint cut that makes a 100 TB embedding
+    corpus shippable, with cosine preserved to ~1e-2. All JVM array
+    HOFs in one projection: the norm is the same in-order fold as every
+    other vector op (bit-identical to the oracle), rounding happens on
+    identical doubles, and the int codes serialize for the hash. The
+    dequantize side is the same transform with /127."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 10 == 0)
+         .select("vec_id", as_double(F.col("embedding")).alias("emb")))
+    nrm = l2norm(F.col("emb"))
+    n = e.select("vec_id", "emb", nrm.alias("nrm"))
+    q8 = F.array_join(
+        F.transform(F.col("emb"),
+                    lambda x: F.round(x / F.col("nrm") * 127, 0)
+                    .cast("int").cast("string")), " ")
+    return n.select(
+        "vec_id", F.round("nrm", 6).cast("float").alias("norm"),
+        q8.alias("q8"))

@@ -727,3 +727,57 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 text_vocab_encode.__doc__ = text_vocab_encode.__doc__.format(
     top=VOCAB_TOP, unk=UNK_ID)
+
+
+CHUNK_SIZE = 48
+CHUNK_STRIDE = 32  # 16-token overlap
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 10 = 0),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {CHUNK_SIZE} + 1, 1),
+                                      {CHUNK_STRIDE})) AS s
+        FROM toks)
+    SELECT doc_id, CAST(s - 1 AS INT) AS start_tok,
+           CAST(least(len(t) - s + 1, {CHUNK_SIZE}) AS INT) AS n_tok,
+           array_to_string(t[s:least(s + {CHUNK_SIZE} - 1, len(t))], ' ')
+               AS chunk
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (the retrieval/RAG prep standard:
+    {size}-token chunks, {ov}-token overlap): per document, slice the
+    materialized token array at strided starts — one explode of a
+    generated start-position sequence plus JVM ``slice``; the text is
+    tokenized ONCE and never re-scanned per chunk. Complements
+    ``pack_sequences`` (which concatenates docs to fill a budget);
+    chunking preserves doc boundaries and adds overlap so retrieval
+    windows never cut context at a hard edge. Tail rule: every doc
+    yields at least one chunk; starts stride until fewer than a full
+    chunk remains (the final partial chunk carries the remainder)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(n - CHUNK_SIZE + 1, F.lit(1)),
+            F.lit(CHUNK_STRIDE))).alias("s"))
+    remaining = F.size("t") - F.col("s") + 1
+    return starts.select(
+        "doc_id", (F.col("s") - 1).cast("int").alias("start_tok"),
+        F.least(remaining, F.lit(CHUNK_SIZE)).cast("int").alias("n_tok"),
+        F.array_join(F.slice("t", F.col("s"), F.lit(CHUNK_SIZE)), " ")
+        .alias("chunk"))
+
+
+text_chunk_overlap.__doc__ = text_chunk_overlap.__doc__.format(
+    size=CHUNK_SIZE, ov=CHUNK_SIZE - CHUNK_STRIDE)
