@@ -640,3 +640,47 @@ def fn_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("as_date"),
         F.expr("TRY_CAST(int_str AS BIGINT)").isNull()
         .alias("int_malformed"))
+
+
+MASK_SALT = "corpus-v1"
+
+
+@query(
+    "fn_data_masking",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey,
+               lpad(CAST(o_custkey * 7919 % 10000000000000000 AS VARCHAR),
+                    16, '0') AS account_no
+        FROM orders WHERE o_orderkey % 25 = 0)
+    SELECT o_orderkey,
+           sha256('{MASK_SALT}' || CAST(o_custkey AS VARCHAR))
+               AS cust_surrogate,
+           repeat('*', 12) || substr(account_no, 13, 4) AS account_masked,
+           substr(account_no, 13, 4) AS account_last4
+    FROM src
+    """,
+)
+def fn_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-engineering masking battery: (1) salted-hash surrogate
+    keys — joinable pseudonyms that survive across tables without
+    exposing the raw key (the tokenization every shared corpus cut
+    applies to user identifiers); (2) format-preserving partial
+    masking (last-4 rule) of an account-number-shaped string. Both are
+    pure projections; the salt is a pipeline constant, never a per-row
+    secret. Complements ``text_pii_scrub`` (free-text redaction) with
+    the structured-column half of the PII story."""
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 25 == 0))
+    account = F.lpad(
+        (F.col("o_custkey") * 7919 % F.lit(10_000_000_000_000_000))
+        .cast("string"), 16, "0")
+    src = o.select("o_orderkey", "o_custkey", account.alias("account_no"))
+    return src.select(
+        "o_orderkey",
+        F.sha2(F.concat(F.lit(MASK_SALT),
+                        F.col("o_custkey").cast("string")), 256)
+        .alias("cust_surrogate"),
+        F.concat(F.lit("*" * 12), F.substring("account_no", 13, 4))
+        .alias("account_masked"),
+        F.substring("account_no", 13, 4).alias("account_last4"))

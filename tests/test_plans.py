@@ -322,3 +322,26 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    # the other half of AQE: 32 configured shuffle partitions collapse
+    # to few at runtime when the data is small — the knob that makes
+    # one cluster-wide shuffle.partitions setting workable across
+    # mixed-size stages (locally: a 25-row aggregate must not schedule
+    # 32 reduce tasks)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    prev = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+        n = load_table(spark, sf_dir, "nation")
+        agg = n.groupBy("n_regionkey").agg(F.count("*").alias("c"))
+        agg.collect()
+        plan = physical_plan(agg)
+        assert "AQEShuffleRead coalesced" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev)

@@ -215,3 +215,29 @@ def test_foreach_batch_cdc_upsert_log(spark):
     assert len(got) == 150
     for k in range(150):
         assert got[k] == (k * 100 if k >= 50 else k * 10), k
+
+
+def test_max_files_per_trigger_rate_limit(spark):
+    """Ingest rate limiting: ``maxFilesPerTrigger=1`` must split an
+    N-file backlog into N micro-batches — the backpressure knob that
+    bounds per-batch state and memory when a stream restarts into a
+    deep backlog (the Lambda-consumer analog: one object per
+    invocation)."""
+    src = tempfile.mkdtemp(prefix="rate_src_")
+    n_files = 4
+    for i in range(n_files):
+        (spark.range(i * 10, (i + 1) * 10).coalesce(1)
+         .write.mode("append").parquet(src))
+    batches = []
+
+    def record(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    q = (spark.readStream.schema("id LONG")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(record)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="rate_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(batches) == n_files
+    assert all(n == 10 for _, n in batches)
