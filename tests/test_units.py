@@ -343,3 +343,72 @@ def test_count_min_sketch_overcount_contract(spark, sf_dir):
     # hash, check the structural invariant sum(row) == totalCount per row
     for r in range(depth):
         assert sum(table[r * width:(r + 1) * width]) == n
+
+
+def test_int8_quantization_cosine_error_bound(spark, sf_dir):
+    # ties sim_embed_quantize_int8 to the search ops: cosine computed
+    # on dequantized int8 codes must stay within ~1e-2 of the exact
+    # cosine — the accuracy contract that justifies the 4x storage cut
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.functions.vector import as_double, cosine
+    from dask_lambda_example_spark.io import load_table
+
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 40)
+         .select("vec_id", as_double(F.col("embedding")).alias("emb")))
+    nrm = F.sqrt(F.aggregate(F.zip_with(F.col("emb"), F.col("emb"),
+                                        lambda a, b: a * b),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    q = e.select(
+        "vec_id", "emb",
+        F.transform("emb", lambda x: F.round(x / nrm * 127, 0) / 127.0)
+        .alias("deq"))
+    a, b = q.alias("a"), q.alias("b")
+    pairs = (a.crossJoin(b)
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(
+                 cosine(F.col("a.emb"), F.col("b.emb")).alias("exact"),
+                 cosine(F.col("a.deq"), F.col("b.deq")).alias("approx")))
+    row = pairs.agg(
+        F.max(F.abs(F.col("exact") - F.col("approx"))).alias("err")).first()
+    assert row["err"] < 0.02, row["err"]
+
+
+def test_cache_table_uses_inmemory_scan(spark, sf_dir):
+    # explicit caching: a cached view must serve later queries from an
+    # InMemoryTableScan (columnar cached batches), not re-scan parquet —
+    # the iterative-workload accelerator (and the thing to UNCACHE when
+    # memory is the constraint)
+    from dask_lambda_example_spark.io import load_table
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_cache_v")
+    spark.catalog.cacheTable("supplier_cache_v")
+    try:
+        df = spark.table("supplier_cache_v").groupBy().count()
+        df.collect()
+        plan = physical_plan(df)
+        assert "Scan In-memory table" in plan or "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.uncacheTable("supplier_cache_v")
+
+
+def test_save_mode_semantics(spark):
+    # the four DataFrameWriter modes: append adds, overwrite replaces,
+    # ignore no-ops on existing data, errorifexists raises
+    import tempfile
+
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="modes_") + "/t"
+    spark.range(5).write.mode("errorifexists").parquet(path)
+    spark.range(5).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 10
+    spark.range(3).write.mode("overwrite").parquet(path)
+    assert spark.read.parquet(path).count() == 3
+    spark.range(7).write.mode("ignore").parquet(path)
+    assert spark.read.parquet(path).count() == 3
+    with pytest.raises(Exception):
+        spark.range(1).write.mode("errorifexists").parquet(path)
