@@ -428,3 +428,78 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus release report (funnel survivors × split assignment × audit)
+# ---------------------------------------------------------------------------
+
+
+def _release_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES as _Q
+
+    ex = _Q["dedup_exact_hash"].oracle
+    rep = _Q["text_repetition_filter"].oracle
+    lm = _Q["text_unigram_lm_score"].oracle
+    h = HEX32_SQL.format(x="CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    WITH ex AS ({ex}), rep AS ({rep}), lm AS ({lm}),
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             CASE WHEN {h} % 100 < {VAL_LO} THEN 'train'
+                  WHEN {h} % 100 < {TEST_LO} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d
+      JOIN ex ON ex.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id AND rep.keep
+      JOIN lm ON lm.doc_id = d.doc_id AND NOT lm.is_outlier)
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM survivors GROUP BY split, lang
+    """
+
+
+@query("pipeline_release_report", oracle=_release_oracle())
+def pipeline_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE report — the composition a data team ships
+    with every cut: curation-funnel survivors (exact dedup ∧ Gopher
+    gates ∧ LM filter, the same registered operators
+    ``pipeline_curation_funnel`` composes) assigned to their stable
+    hash splits, audited per (split, language) with doc/token/source
+    counts. The oracle nests the component operators' own oracle SQL
+    as CTEs plus the split rule — the full pipeline is value-checked
+    as one expression, so a regression in ANY composed stage fails
+    this query too.
+
+    Plan shape: one documents scan shared by all stages, one shuffle
+    per stage flag, survivors join on doc_id, split assignment is a
+    zero-shuffle hash projection, and the audit is one grouped
+    aggregation over split×lang (tiny) with an exact distinct-source
+    count riding the same shuffle."""
+    from dask_lambda_example_spark.operators.dedup import dedup_exact_hash
+    from dask_lambda_example_spark.operators.text import (
+        text_repetition_filter, text_unigram_lm_score)
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = dedup_exact_hash(spark, sf_dir).select("doc_id")
+    rep = (text_repetition_filter(spark, sf_dir)
+           .filter(F.col("keep")).select("doc_id"))
+    lm = (text_unigram_lm_score(spark, sf_dir)
+          .filter(~F.col("is_outlier")).select("doc_id"))
+    h = F.pmod(hex32(F.col("doc_id").cast("string")), F.lit(100))
+    split = (F.when(h < VAL_LO, "train")
+             .when(h < TEST_LO, "val")
+             .otherwise("test"))
+    survivors = (
+        d.join(ex, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
+        .select(split.alias("split"), "lang", "source",
+                F.size(F.split(F.col("text"), " ")).alias("n_tokens")))
+    return (
+        survivors.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.countDistinct("source").alias("n_sources"))
+    )
