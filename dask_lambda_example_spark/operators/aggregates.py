@@ -389,3 +389,34 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.min("n_chars").alias("lo"),
                  F.max("n_chars").alias("hi")))
+
+
+@query(
+    "agg_grouping_id_flags",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` flags over a CUBE: subtotal rows are
+    distinguishable from genuine NULL group keys — the disambiguation
+    every rollup consumer needs before pivoting the result (a NULL key
+    and an "all" subtotal hash identically otherwise). One Expand +
+    one aggregation, the same plan as the plain cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").cast("int").alias("g_rf"),
+             F.grouping("l_linestatus").cast("int").alias("g_ls"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "g_rf", "g_ls", "n")
+    )

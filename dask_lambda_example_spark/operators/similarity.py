@@ -456,3 +456,105 @@ def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "vec_id", F.round("nrm", 6).cast("float").alias("norm"),
         q8.alias("q8"))
+
+
+MMR_PROBE = 0
+MMR_CAND = 12
+MMR_K = 4
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    cos = _cos_sql("{a}", "{b}")
+
+    def c(a, b):
+        return cos.format(a=a, b=b)
+
+    steps = []
+    prev_sel = "s1"
+    sel_union = "SELECT * FROM s1"
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT c.vec_id, c.emb, c.cos,
+               max({c('c.emb', 's.emb')}) AS msim
+        FROM cand c JOIN ({sel_union}) s ON c.vec_id <> s.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ({sel_union}))
+        GROUP BY c.vec_id, c.emb, c.cos),
+    s{i} AS (
+        SELECT {i} AS rank, vec_id, emb, cos FROM r{i}
+        ORDER BY {MMR_LAMBDA} * cos - {1 - MMR_LAMBDA:.1f} * msim DESC,
+                 vec_id LIMIT 1)""")
+        sel_union += f" UNION ALL SELECT * FROM s{i}"
+        prev_sel = f"s{i}"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    p AS (SELECT emb AS pemb FROM e WHERE vec_id = {MMR_PROBE}),
+    cand AS (
+        SELECT vec_id, emb, {c('emb', 'p.pemb')} AS cos
+        FROM e, p WHERE vec_id <> {MMR_PROBE}
+        ORDER BY cos DESC, vec_id LIMIT {MMR_CAND}),
+    s1 AS (SELECT 1 AS rank, vec_id, emb, cos FROM cand
+           ORDER BY cos DESC, vec_id LIMIT 1),
+    {",".join(steps)}
+    SELECT rank, vec_id, CAST(round(cos, 6) AS REAL) AS cos
+    FROM ({sel_union})
+    """
+
+
+@query("sim_mmr_diversified_topk", oracle=_mmr_oracle())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the cosine top-{n}
+    candidates of a probe, greedily select {k} results balancing
+    relevance against redundancy (λ={lam} · cos(probe,c) −
+    (1−λ) · max-sim-to-already-selected) — the diversified-retrieval
+    step between ANN candidate generation and a RAG context window.
+
+    Scale split: candidate generation is the distributed part
+    (broadcast probe over the streaming corpus, TakeOrdered {n}) and is
+    shared with `sim_cosine_topk_bruteforce`; the greedy loop runs on
+    the {n}-row candidate frame — bounded by k·n tiny joins, corpus
+    size irrelevant. All cosines are the same in-order folds as every
+    vector op, so the greedy argmax (tie-break vec_id) is bit-exact
+    across engines and the oracle unrolls the identical {k}-step
+    recurrence."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("emb")))
+    p = (e.filter(F.col("vec_id") == MMR_PROBE)
+         .select(F.col("emb").alias("pemb")))
+    cand = (
+        e.filter(F.col("vec_id") != MMR_PROBE)
+        .crossJoin(F.broadcast(p))
+        .select("vec_id", "emb", cosine(F.col("emb"), F.col("pemb"))
+                .alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id")).limit(MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    sel = (cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(1)
+           .select(F.lit(1).alias("rank"), "vec_id", "emb", "cos"))
+    for i in range(2, MMR_K + 1):
+        s = sel.select(F.col("vec_id").alias("svid"),
+                       F.col("emb").alias("semb"))
+        scored = (
+            cand.join(F.broadcast(sel.select("vec_id")), "vec_id",
+                      "left_anti")
+            .crossJoin(F.broadcast(s))
+            .select("vec_id", "emb", "cos",
+                    cosine(F.col("emb"), F.col("semb")).alias("sim"))
+            .groupBy("vec_id", "emb", "cos")
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            scored.orderBy(
+                F.desc(MMR_LAMBDA * F.col("cos")
+                       - (1 - MMR_LAMBDA) * F.col("msim")),
+                F.asc("vec_id")).limit(1)
+            .select(F.lit(i).alias("rank"), "vec_id", "emb", "cos"))
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("rank", "vec_id",
+                      F.round("cos", 6).cast("float").alias("cos"))
+
+
+sim_mmr_diversified_topk.__doc__ = sim_mmr_diversified_topk.__doc__.format(
+    n=MMR_CAND, k=MMR_K, lam=MMR_LAMBDA)
