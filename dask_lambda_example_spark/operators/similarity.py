@@ -483,7 +483,7 @@ def _mmr_oracle() -> str:
         GROUP BY c.vec_id, c.emb, c.cos),
     s{i} AS (
         SELECT {i} AS rank, vec_id, emb, cos FROM r{i}
-        ORDER BY {MMR_LAMBDA} * cos - {1 - MMR_LAMBDA:.1f} * msim DESC,
+        ORDER BY {MMR_LAMBDA!r} * cos - {1 - MMR_LAMBDA!r} * msim DESC,
                  vec_id LIMIT 1)""")
         sel_union += f" UNION ALL SELECT * FROM s{i}"
         prev_sel = f"s{i}"

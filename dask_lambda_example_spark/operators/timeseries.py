@@ -380,7 +380,10 @@ ROLLUP_CUTOFF = "2024-01-25"
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(value), 6) AS REAL) AS sum_value,
-           CAST(round(sum(value) / count(*), 6) AS REAL) AS mean_value
+           -- the mean divides the QUANTIZED sum (round 6), mirroring the
+           -- merge-boundary quantization on the Spark side exactly
+           CAST(round(round(sum(value), 6) / count(*), 6) AS REAL)
+               AS mean_value
     FROM events GROUP BY day, event_type
     """,
 )
@@ -405,9 +408,17 @@ def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(ROLLUP_CUTOFF).cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
+        # Partial state is QUANTIZED at the merge boundary (round to the
+        # same 6 decimals the output contract uses) — the discipline
+        # that keeps merge == recompute bit-stable even when a group's
+        # state is assembled from differently-associated partial sums.
+        # (With the day-aligned cutoff each (day,type) group's state in
+        # fact comes entirely from one side of the split, so the
+        # quantization is an idempotent no-op today — it is the guard
+        # for a future intra-day cutoff.)
         return (df.groupBy(day, "event_type")
                 .agg(F.count("*").alias("n"),
-                     F.sum("value").alias("sum_value")))
+                     F.round(F.sum("value"), 6).alias("sum_value")))
 
     old_rollup = partial(e.filter(F.col("ts") < cut))      # "materialized"
     delta = partial(e.filter(F.col("ts") >= cut))          # new raw slice

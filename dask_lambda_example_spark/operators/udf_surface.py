@@ -280,7 +280,15 @@ def udf_polymorphic_udtf_analyze(spark: SparkSession,
             doc = _json.loads(payload)
             out = [row_id]
             for name in fields.split(","):
-                out.append(doc.get(name) if name in doc else extra)
+                if name == "event_type":
+                    # the one pass-through field sourced from the extra
+                    # scalar arg, not the JSON payload
+                    out.append(extra)
+                else:
+                    # absent typed JSON field → NULL, matching
+                    # json_extract semantics (never substitute a string
+                    # into an analyze-declared LONG column)
+                    out.append(doc.get(name))
             yield tuple(out)
 
     poly = udtf(JsonFields)

@@ -223,12 +223,33 @@ def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which attempt file this task produced.
+
+    Must be picklable (travels executor → driver with the task result).
+    """
+
+    def __init__(self, tmp_name: str, final_name: str) -> None:
+        self.tmp_name = tmp_name
+        self.final_name = final_name
+
+
 class JsonlSinkDataSource(DataSource):
-    """``format("jsonl_sink")`` — a user-defined WRITE connector: each
-    task serializes its partition to one JSON-lines file under
-    ``path``; the driver-side ``commit`` writes a manifest listing the
-    committed files (the two-phase commit seam a real external sink —
-    REST batch endpoint, queue producer, bespoke format — plugs into).
+    """``format("jsonl_sink")`` — a user-defined WRITE connector with a
+    real two-phase commit: each task serializes its partition to an
+    ATTEMPT-UNIQUE temp file (``part-NNNNN-<uuid>.jsonl.tmp``) and
+    reports the name in its ``WriterCommitMessage``; only the
+    driver-side ``commit`` renames attempt files to their final
+    ``*.jsonl`` names and publishes a manifest listing exactly the
+    committed files, while ``abort`` deletes every reported attempt
+    file. A failed / speculatively-retried task therefore never leaves
+    a file a consumer can see: readers glob ``*.jsonl`` (tmp files
+    don't match) or, stricter, read only the manifest's file list.
+
+    Requires ``path`` to be storage the driver can rename on — a shared
+    filesystem (NFS/FUSE-mounted object store) in cluster mode; for a
+    rename-less object store the same protocol holds with temp KEYS and
+    a server-side copy-on-commit.
     """
 
     @classmethod
@@ -244,30 +265,51 @@ class JsonlSinkWriter(DataSourceWriter):
         self.path = path
 
     def write(self, iterator):
-        # executor-side: one file per task, name from the task context
+        # executor-side: one ATTEMPT-UNIQUE temp file per task attempt;
+        # the .tmp suffix keeps it invisible to any *.jsonl consumer
+        # until the driver commits it.
         import json as _json
         import os
+        import uuid
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        n = 0
-        with open(fname, "w") as f:
+        final = f"part-{pid:05d}.jsonl"
+        tmp = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp"
+        with open(os.path.join(self.path, tmp), "w") as f:
             for row in iterator:
                 f.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
-        return WriterCommitMessage()
+        return JsonlCommit(tmp_name=tmp, final_name=final)
 
     def commit(self, messages) -> None:
-        # driver-side: all tasks succeeded → publish the manifest
+        # driver-side: all tasks succeeded → atomically publish each
+        # attempt file under its final name, then write the manifest
+        # naming exactly the committed files.
         import os
 
+        committed = []
+        for m in messages:
+            if m is None:  # pragma: no cover - defensive
+                continue
+            os.replace(os.path.join(self.path, m.tmp_name),
+                       os.path.join(self.path, m.final_name))
+            committed.append(m.final_name)
         with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
-            f.write(f"tasks={len(list(messages))}\n")
+            f.write(f"tasks={len(committed)}\n")
+            for name in sorted(committed):
+                f.write(name + "\n")
 
     def abort(self, messages) -> None:  # pragma: no cover - failure path
-        pass
+        # delete every reported attempt file; nothing was published
+        import contextlib
+        import os
+
+        for m in messages or ():
+            if m is None:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.path, m.tmp_name))
 
 
 @query(
@@ -299,7 +341,14 @@ def src_python_datasink_roundtrip(spark: SparkSession,
             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
     (rows.write.format("jsonl_sink").option("path", out)
      .mode("append").save())
-    assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    # two-phase-commit contract: no attempt files survive, and the
+    # manifest names exactly the published *.jsonl files
+    manifest = os.path.join(out, "_MANIFEST")
+    assert os.path.exists(manifest)
+    listed = {ln for ln in open(manifest).read().splitlines()[1:]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert listed == on_disk and not any(
+        f.endswith(".tmp") for f in os.listdir(out))
     return (spark.read
             .schema("o_orderkey bigint, o_orderstatus string, "
                     "o_totalprice double")

@@ -183,14 +183,17 @@ def test_hll_sketch_merge_equals_direct(spark, sf_dir):
 
     from dask_lambda_example_spark.io import load_table
 
+    # lgConfigK pinned explicitly on BOTH aggregation paths so the
+    # exact-equality contract is ours, not inherited from Spark /
+    # datasketches version defaults.
     e = load_table(spark, sf_dir, "events")
     per_group = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"))
+        F.hll_sketch_agg("user_id", 12).alias("sk"))
     merged = per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).first()["est"]
     direct = e.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
     ).first()["est"]
     assert merged == direct
 
