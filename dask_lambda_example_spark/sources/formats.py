@@ -53,6 +53,29 @@ def _jdbc_opts() -> dict:
     }
 
 
+def jdbc_write(df: DataFrame, dbtable: str, opts: dict,
+               num_partitions: int = 4, batchsize: int = 1000,
+               mode: str = "overwrite") -> DataFrame:
+    """Partitioned-parallel JDBC write: ``num_partitions`` concurrent
+    connections each streaming JDBC batch INSERTs of ``batchsize`` rows
+    — the write-side mirror of the partitioned read. A single-connection
+    write (`coalesce(1)`) is the classic JDBC-sink bottleneck: at scale
+    the whole cluster funnels through one socket. Parallelism is capped,
+    not defaulted to the input's partition count, because each write
+    partition holds a connection for its lifetime — a 2000-partition
+    frame would open 2000 connections and melt the database; right-size
+    to what the target DB's connection pool and write throughput bear.
+
+    Returns the repartitioned frame that was written (so tests can
+    assert the pre-write parallelism).
+    """
+    out = df.repartition(num_partitions)
+    (out.write.mode(mode).format("jdbc")
+     .options(dbtable=dbtable, batchsize=str(batchsize),
+              isolationLevel="READ_COMMITTED", **opts).save())
+    return out
+
+
 @query(
     "fmt_csv_roundtrip",
     oracle="""
@@ -169,19 +192,18 @@ def fmt_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC sink → JDBC scan (``dd.read_sql_table`` / ``spark.read.jdbc``,
     SURVEY.md §2.B scans) against embedded Derby.
 
-    The read-back is a *partitioned* JDBC scan — ``partitionColumn`` +
-    ``numPartitions`` split the key range into 4 concurrent queries.
-    That is the only JDBC shape that survives scale: an unpartitioned
-    JDBC read is one task pulling the whole table through one
-    connection. (The write side coalesces to 1 because embedded Derby
-    is single-writer; a server-grade RDBMS would take the default
-    per-partition parallel INSERT path.)
+    Both directions are *partitioned*: the write goes through
+    ``jdbc_write`` — 4 concurrent connections, batched INSERTs
+    (embedded Derby row-locks, so same-JVM concurrent writers are fine)
+    — and the read-back splits the key range into 4 concurrent queries
+    via ``partitionColumn`` + ``numPartitions``. Those are the only
+    JDBC shapes that survive scale: unpartitioned, one task pulls (or
+    pushes) the whole table through one connection.
     """
     opts = _jdbc_opts()
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    (o.select("o_orderkey", "o_orderpriority", "o_totalprice")
-     .coalesce(1).write.mode("overwrite").format("jdbc")
-     .options(dbtable="orders_t", **opts).save())
+    jdbc_write(o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+               "orders_t", opts)
     back = (
         spark.read.format("jdbc")
         .options(dbtable="orders_t", partitionColumn="o_orderkey",

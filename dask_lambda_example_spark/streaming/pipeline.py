@@ -436,8 +436,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``rate`` source — streaming analog of the synthetic
     timeseries (SURVEY.md §1.3): N rows/second of (timestamp, value),
-    generated distributedly. Timestamps are wall-clock ⇒ rows-only
-    check on the derived aggregate's shape."""
+    generated distributedly. Timestamps are wall-clock ⇒ no DuckDB
+    oracle, but the query is INVARIANT-GATED, not merely rows-only:
+    the rate source emits the exact sequence value = 0..T-1, so after
+    any complete-mode batch the per-letter bucket (value % 26 == k)
+    must hold exactly n_k = ceil((T-k)/26) rows with mean exactly
+    k + 13·(n_k − 1) — the body reconstructs T from the collected
+    26-row aggregate and asserts every count and mean bit-exactly,
+    value-checking the distributed generator end-to-end."""
     stream = (spark.readStream.format("rate")
               .option("rowsPerSecond", 1000).load()
               .withColumn("name", F.char(F.lit(97) + (F.col("value") % 26)
@@ -462,7 +468,20 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.5)
     finally:
         q.stop()
-    return spark.table(table)
+    out = spark.table(table)
+    # invariant gate (bounded 26-row collect): values are the exact
+    # sequence 0..T-1, so bucket k must hold ceil((T-k)/26) rows whose
+    # mean is the arithmetic-series midpoint k + 13*(n_k - 1)
+    rows = out.collect()
+    total = sum(r["n"] for r in rows)
+    assert total > 0, "no micro-batch landed within the deadline"
+    for r in rows:
+        k = ord(r["name"]) - 97
+        assert 0 <= k < 26, r
+        n_exp = (total - k + 25) // 26
+        assert r["n"] == n_exp, (r, total)
+        assert r["mean_v"] == k + 13.0 * (n_exp - 1), (r, total)
+    return out
 
 
 @query(

@@ -345,3 +345,84 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+
+def test_adversarial_skew_salting_bounds_partition_size(spark):
+    # deliberately adversarial fixture: ONE key owns 50% of the fact
+    # rows. A plain hash repartition on the join key puts that entire
+    # key in one shuffle partition (the straggler task that kills the
+    # job at 100 TB); salting the key with N_SALT sub-keys must cut the
+    # max partition to ~1/N_SALT of the hot key's mass.
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.operators.skew import N_SALT
+
+    n = 200_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+         .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+         .alias("k"),
+        F.col("id").alias("v"))
+
+    def max_partition_rows(df):
+        sizes = (df.withColumn("p", F.spark_partition_id())
+                 .groupBy("p").count().collect())
+        return max(r["count"] for r in sizes)
+
+    naive = max_partition_rows(fact.repartition(32, "k"))
+    salted = max_partition_rows(
+        fact.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)))
+            .repartition(32, "k", "salt"))
+    assert naive >= n // 2              # the hot key lands whole
+    # the 8 hot-key salt shards spread over 32 partitions; two may
+    # hash-collide into one partition, so the guaranteed bound is ~1/3
+    # of the naive straggler, not a full 1/N_SALT
+    assert salted <= naive // 3
+
+
+def test_adversarial_skew_aqe_splits_join_partition(spark):
+    # same fixture through the OTHER mitigation: AQE's runtime skew-join
+    # split. With skew thresholds sized to the fixture, the executed
+    # sort-merge join must mark the skewed side split (skew=true) —
+    # proof the engine re-plans a straggler partition into parallel
+    # chunks without any query rewrite.
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        n = 400_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+             .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+             .alias("k"),
+            F.col("id").alias("v"))
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        # consumer must NOT require the join's k-partitioning (a
+        # groupBy("k") downstream would make the skew split introduce
+        # an extra shuffle, which AQE declines by default) — a global
+        # aggregate leaves the join free to split its skewed partition
+        joined = (fact.join(dim.hint("merge"), "k")
+                  .agg(F.count("*").alias("n"), F.sum("v").alias("sv")))
+        joined.collect()
+        plan = physical_plan(joined)
+        assert "skew=true" in plan or "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

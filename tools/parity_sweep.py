@@ -9,6 +9,12 @@ sweep reproduces those failure modes locally so local green predicts driver
 green.
 
 Usage:  PYTHONPATH=/root/repo python tools/parity_sweep.py [name_prefix ...]
+        PYTHONPATH=/root/repo python tools/parity_sweep.py --json OUT.json
+
+With ``--json PATH`` the sweep also writes a machine-readable artifact:
+``{"sf": ..., "n": N, "clean": M, "queries": {name: "ok" | "<problem>"}}``
+— committed per-round (PARITY_r{N}.json) as the builder's full-battery
+answer to the driver's 50-query sample window.
 """
 
 from __future__ import annotations
@@ -110,7 +116,13 @@ def main() -> int:
 
     from dask_lambda_example_spark.registry import oracle_queries, spark_queries
 
-    prefixes = sys.argv[1:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    prefixes = argv
     # BARE session on purpose — the verification driver does NOT use
     # session.get_spark(), so every query must carry its own conf needs
     # (io.ensure_portable_session). Default 200 shuffle partitions also
@@ -127,6 +139,7 @@ def main() -> int:
 
     qs, oracles = spark_queries(), oracle_queries()
     bad = 0
+    results: dict[str, str] = {}
     names = [n for n in qs if n in oracles
              and (not prefixes or any(n.startswith(p) for p in prefixes))]
     for name in names:
@@ -135,14 +148,21 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {exc}"]
             traceback.print_exc()
+        results[name] = "ok" if not problems else "; ".join(problems)[:500]
         if problems:
             bad += 1
             print(f"FAIL {name}")
             for p in problems:
                 print(f"     {p}")
         else:
-            print(f"ok   {name}")
+            print(f"ok   {name}", flush=True)
     print(f"\n{len(names) - bad}/{len(names)} strict-parity clean")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf": SF, "n": len(names), "clean": len(names) - bad,
+                       "queries": results}, f, indent=1, sort_keys=True)
     return 1 if bad else 0
 
 
