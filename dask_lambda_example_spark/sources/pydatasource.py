@@ -200,9 +200,13 @@ def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(processingTime="250 milliseconds")
              .start())
     try:
+        # drain-completion poll reads the query's PROGRESS METADATA
+        # (numInputRows per committed micro-batch — driver-side state,
+        # no Spark job), not a count() query per tick
         deadline = _time.time() + 120
         while _time.time() < deadline:
-            if spark.table(table).count() >= STREAM_MAX:
+            landed = sum(p["numInputRows"] for p in q.recentProgress)
+            if landed >= STREAM_MAX:
                 break
             _time.sleep(0.25)
         else:
