@@ -60,10 +60,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 # The verification driver samples the FIRST 50 entries of queries() each
 # round. Rounds 1+2 verified 86 distinct queries (CORRECTNESS_r01/r02,
-# all green); re-checking any of them would waste sample slots. This
-# round-3 window therefore contains ONLY queries the driver has never
-# sampled, chosen so every zero-coverage family gets hard CORRECTNESS
-# rows: set ops, subqueries, the TPC-H shape battery, format roundtrips
+# all green); re-checking any of them would waste sample slots.
+# _ordered() therefore floats never-driver-verified names to the front
+# automatically (driver_verified() reads the committed CORRECTNESS_r*
+# artifacts), with this curated list as the head of the current window —
+# chosen so every zero-coverage family gets hard CORRECTNESS rows first:
+# set ops, subqueries, the TPC-H shape battery, format roundtrips
 # (csv/orc/jdbc/DPP/compaction), semi-structured + try_cast ingest,
 # grouping-id/corr/unpivot aggregates, the scale-safe two-phase window
 # ranks, SCD2/gap-fill/as-of-nearest timeseries, null-skew join hygiene,
@@ -121,13 +123,60 @@ PRIORITY_QUERIES = (
 )
 
 
+def driver_verified() -> set[str]:
+    """Names with a fully-green driver CORRECTNESS row from any completed
+    round (``CORRECTNESS_r*.json`` committed at the repo root).
+
+    Green means: no error, row counts match, and — when the driver ran
+    the full oracle comparison — schema + value-hash match too (those
+    keys are ``null`` for rows-only queries, which can't do better than
+    a row check by design). A name that only ever appears with a
+    failure stays unverified, so it keeps priority until a green row
+    lands.
+    """
+    import json
+    import pathlib
+
+    green: set[str] = set()
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (r.get("err") is None and r.get("rows_match")
+                    and r.get("schema_match") in (True, None)
+                    and r.get("hash_match") in (True, None)):
+                green.add(name)
+            elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                # rows-only query: the driver ran it and recorded the
+                # row count — the strongest check it will ever get.
+                green.add(name)
+    return green
+
+
 def _ordered() -> list[QuerySpec]:
+    """Registry order = the driver's sample order (it checks the FIRST
+    50 entries of ``queries()`` each round). Rotation is automatic:
+    never-driver-verified names come first — ``PRIORITY_QUERIES`` (the
+    curated representatives for this round's window), then the
+    remaining unverified names in registration order — and verified
+    names re-register after them. When a round's CORRECTNESS artifact
+    lands, its green names drop out of the front and the next 50
+    unverified names bubble up with no manual re-curation.
+    """
     _ensure_loaded()
     missing = [n for n in PRIORITY_QUERIES if n not in QUERIES]
     if missing:
         raise RuntimeError(f"PRIORITY_QUERIES names not registered: {missing}")
-    rest = [n for n in QUERIES if n not in set(PRIORITY_QUERIES)]
-    return [QUERIES[n] for n in (*PRIORITY_QUERIES, *rest)]
+    green = driver_verified()
+    pri = set(PRIORITY_QUERIES)
+    head = [n for n in PRIORITY_QUERIES if n not in green]
+    unverified = [n for n in QUERIES if n not in green and n not in pri]
+    verified = [n for n in QUERIES if n in green and n not in pri]
+    verified_pri = [n for n in PRIORITY_QUERIES if n in green]
+    return [QUERIES[n] for n in (*head, *unverified, *verified, *verified_pri)]
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -446,6 +446,21 @@ def test_registry_priority_rotation():
     stale = [n for n in window if n in prior]
     assert not stale, f"window re-checks already-verified queries: {stale}"
 
+    # 4. automatic rotation: the driver samples the FIRST 50 names of
+    #    queries(); none of them may already hold a green driver row
+    #    (driver_verified() derives that set from the committed
+    #    CORRECTNESS_r* artifacts), and every green name must still be
+    #    registered (verified queries re-register after the window —
+    #    they never silently drop out of the battery).
+    green = registry.driver_verified()
+    ordered = list(qs)
+    front = ordered[:50]
+    wasted = [n for n in front if n in green]
+    assert not wasted, f"driver window wastes slots on verified names: {wasted}"
+    dropped = [n for n in green if n not in qs]
+    assert not dropped, f"verified queries vanished from the registry: {dropped}"
+    assert len(ordered) == len(set(ordered))
+
     cov = (repo / "COVERAGE.md").read_text()
     undocumented = [n for n in qs if f"`{n}`" not in cov]
     assert not undocumented, f"missing from COVERAGE.md: {undocumented}"
