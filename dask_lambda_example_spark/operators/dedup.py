@@ -25,6 +25,9 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -99,6 +102,59 @@ SHINGLES_SQL = """
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS token
     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
+
+
+def shingle_df_cap() -> int | None:
+    """Optional hot-shingle document-frequency cap for the near-dup
+    candidate generators (``SPARK_GRAFT_SHINGLE_MAX_DF``).
+
+    At web scale a handful of boilerplate shingles ("all rights
+    reserved …") appear in millions of documents; their posting lists
+    defeat both AQE skew-splitting (one straggler task) and the pair
+    expansion (one list of length m contributes m² candidates). The
+    standard defense (Gopher/CCNet-style pipelines) is to DROP shingles
+    above a df cap before pair expansion: a shingle shared by that many
+    documents carries no near-dup signal. Unset (the default — and in
+    every oracle-parity run) the generators are exact.
+    """
+    v = os.environ.get("SPARK_GRAFT_SHINGLE_MAX_DF")
+    return int(v) if v else None
+
+
+def drop_stop_shingles(tok: DataFrame, max_df: int) -> DataFrame:
+    """Drop (doc_id, token) postings whose token's document frequency
+    exceeds ``max_df`` — BEFORE any posting list is materialized.
+
+    Two passes, both safe at 100 TB: the df count is an ordinary
+    partial-aggregated shuffle of (token, count) pairs, and the viral
+    set it yields is Zipf-bounded (#tokens with df > c ≲ N_postings/c,
+    in practice a few thousand boilerplate shingles), so the anti-join
+    back against the index is broadcast-sized — left to AQE's runtime
+    stats rather than forced, so a pathological corpus degrades to a
+    shuffled anti-join instead of a driver OOM.
+    """
+    viral = (tok.groupBy("token").agg(F.count("*").alias("_df"))
+             .filter(F.col("_df") > max_df).select("token"))
+    return tok.join(viral, "token", "left_anti")
+
+
+def materialize(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    """Pin a multi-consumer intermediate: ``.cache()`` locally, or a
+    parquet checkpoint when ``SPARK_GRAFT_CHECKPOINT_DIR`` is set.
+
+    ``.cache()`` is the right local default, but at cluster scale cache
+    eviction silently recomputes the full lineage per consumer and the
+    cached blocks die with their executors. The 100 TB path writes the
+    intermediate once and re-scans it (columnar, spill-free, survives
+    executor loss, truncates the lineage for AQE).
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.cache()
+    path = os.path.join(ckpt_dir, f"{name}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(path)
+    return spark.read.parquet(path)
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -193,6 +249,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash variant below is the designed escape for true web scale."""
     d = load_table(spark, sf_dir, "documents")
     tok = shingles(d)
+    cap = shingle_df_cap()
+    if cap is not None:
+        # hot-shingle defense (unset in parity runs). Set sizes keep the
+        # PRE-cap sz, so the reported jaccard is a lower bound — dropped
+        # shingles can only remove intersection evidence, never add it.
+        tok = drop_stop_shingles(tok, cap)
     # Posting-list formulation of the inverted-index join: group by
     # shingle, emit the (doc, doc) pairs of each posting list via an
     # in-row combination expansion. One pass over the index (a
@@ -219,6 +281,74 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+STOP_SHINGLE_DF_CAP = 5  # fixed cap for the oracle-paired variant below
+
+
+@query(
+    "dedup_jaccard_stopshingle",
+    oracle=f"""
+    WITH tok AS ({SHINGLES_SQL}),
+    freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    kept AS (SELECT t.doc_id, t.token
+             FROM tok t JOIN freq f ON f.token = t.token
+             WHERE f.df <= {STOP_SHINGLE_DF_CAP}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs with the df-cap stop-shingle defense as a
+    first-class, oracle-checked operator: shingles appearing in more
+    than ``STOP_SHINGLE_DF_CAP`` documents are dropped BEFORE pair
+    expansion, and Jaccard is computed over the capped shingle space
+    (sizes recomputed post-filter, so both sides agree exactly).
+
+    This is the hot-shingle formulation SCALE.md prescribes for a
+    100 TB corpus: the viral-token list is Zipf-bounded and anti-joined
+    out up front, so no posting list longer than the cap is ever
+    collected and per-list pair expansion is bounded at cap²/2
+    candidates regardless of how much boilerplate the corpus carries.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kept = drop_stop_shingles(shingles(d).select("doc_id", "token"),
+                              STOP_SHINGLE_DF_CAP)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    posts = (
+        kept.groupBy("token")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
+    ))
+    common = (
+        posts.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.sz") + F.col("sb.sz") - F.col("c"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -292,18 +422,27 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     # The shingle index feeds three consumers (signature build + both
-    # sides of the verification join); caching materializes it once.
-    # Spark's CacheManager keys on the logical plan, so repeated
-    # invocations share one entry (the 100 TB analog: write signatures
-    # to a parquet checkpoint between stages).
-    tok = shingles(d).cache()
+    # sides of the verification join); materialize() pins it once —
+    # .cache() locally (CacheManager keys on the logical plan, so
+    # repeated invocations share one entry), or a parquet checkpoint
+    # when SPARK_GRAFT_CHECKPOINT_DIR is set (the 100 TB path: the
+    # signature-build input is written once between stages instead of
+    # living in evictable executor memory).
+    tok = materialize(shingles(d), spark, "minhash_shingles")
+    cap = shingle_df_cap()
+    # hot-shingle defense (unset in parity runs): viral shingles are
+    # dropped before SIGNATURE build — their minhashes otherwise
+    # collapse unrelated documents into shared bands. Exact
+    # verification below still uses the full index (tok), so emitted
+    # jaccard values stay exact; only candidate RECALL changes.
+    tok_sig = drop_stop_shingles(tok, cap) if cap is not None else tok
 
     # signature: universal-hashing family g_i = (h1 + i·h2) mod 2³²
     # from TWO md5-derived hashes per shingle (not 16 md5 calls — the
     # affine combinations are integer ops); h1/h2 materialized as
     # columns so the 16 min-aggregates reference attributes instead of
     # re-evaluating md5. One aggregation pass computes all 16 mins.
-    th = tok.select(
+    th = tok_sig.select(
         "doc_id",
         hex32(F.col("token")).alias("h1"),
         hex32(F.concat(F.col("token"), F.lit("#"))).alias("h2"))

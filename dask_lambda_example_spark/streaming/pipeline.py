@@ -461,10 +461,14 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # let a couple of micro-batches land, then stop — episodic use
         # of a continuous trigger (the reference's 1-minute cadence,
-        # app.py:131-134, compressed for test time)
+        # app.py:131-134, compressed for test time). Drain-completion
+        # polls the query's PROGRESS METADATA (numInputRows per
+        # committed micro-batch — driver-side state, no Spark job), not
+        # a count() query per tick.
         import time as _time
         deadline = _time.time() + 8
-        while _time.time() < deadline and spark.table(table).count() == 0:
+        while (_time.time() < deadline
+               and not any(p["numInputRows"] > 0 for p in q.recentProgress)):
             _time.sleep(0.5)
     finally:
         q.stop()
