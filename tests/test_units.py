@@ -574,3 +574,49 @@ def test_minhash_checkpoint_knob(spark, sf_dir, tmp_path, monkeypatch):
     assert written, "checkpoint dir was not used"
     assert any(f.endswith(".parquet")
                for f in os.listdir(tmp_path / written[0]))
+
+
+def test_bench_regression_gate():
+    # plan-pathology tripwire: any query >3x slower than the previous
+    # committed round's bench (well above the documented ±45% noise
+    # band) fails here instead of waiting for a manual bench read —
+    # the round-2 40x sketch-gate slowdown is the motivating case.
+    import json
+    import pathlib
+
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    arts = sorted(repo.glob("BENCH_r*.json"))
+    if len(arts) < 2:
+        pytest.skip("fewer than two committed bench artifacts")
+
+    def timings(art: pathlib.Path) -> dict[str, float]:
+        # the driver artifact keeps only the TAIL of the bench JSON line
+        # (front-truncated), so recover per-query times by scanning
+        # "name": seconds pairs inside the queries object — everything
+        # before the closing `}, "sf":` belongs to it
+        doc = json.loads(art.read_text())
+        if isinstance(doc.get("parsed"), dict):
+            return doc["parsed"]["queries"]
+        tail = doc["tail"].split('}, "sf":')[0]
+        return {m.group(1): float(m.group(2)) for m in re.finditer(
+            r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)}
+
+    prev_art, cur_art = arts[-2], arts[-1]
+    prev = timings(prev_art)
+    cur = timings(cur_art)
+    # sub-second timings are dominated by per-query fixed cost (session
+    # scheduling, streaming micro-batch startup); only flag regressions
+    # that are both >3x and land above 1.5s — a real plan pathology at
+    # sf0.1 clears both bars easily (40x took 3s -> 86s)
+    bad = {
+        n: (prev[n], cur[n])
+        for n in prev.keys() & cur.keys()
+        if prev[n] > 0 and cur[n] > max(3 * prev[n], 1.5)
+    }
+    assert not bad, (
+        f"queries regressed >3x between {prev_art.name} and "
+        f"{cur_art.name}: {bad}")
+    failed = [n for n, t in cur.items() if t < 0]
+    assert not failed, f"queries failing in {cur_art.name}: {failed}"
