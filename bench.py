@@ -40,9 +40,11 @@ def main() -> None:
         try:
             spec.fn(spark, sf_dir).collect()
             times[name] = round(time.perf_counter() - t0, 4)
+            # progress line per query so a stalled run is attributable
+            print(f"BENCH OK {name} {times[name]}", file=sys.stderr, flush=True)
         except Exception as exc:  # record failures, don't kill the run
             times[name] = -1.0
-            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr, flush=True)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
 

@@ -14,9 +14,20 @@ real 10x corpus has, not a 10x-duplicated one:
   real corpus does; an unperturbed copy would make every doc a 10-way
   near-dup family and blow the pair count up quadratically, testing
   output explosion rather than engine scaling;
-- ``embeddings.embedding`` gets a tiny per-replica perturbation
-  (+replica * 1e-4 per component) so vectors are distinct but the
-  geometry (norms, neighborhoods) is essentially unchanged;
+- ``embeddings.embedding`` is component-ROLLED by the replica index
+  (plus a tiny +replica*1e-4 perturbation so vectors are bitwise
+  distinct).  Rolling every vector of a replica by the same offset
+  preserves all norms and within-replica dot products exactly — each
+  replica contributes the same near-dup pairs as the original, so
+  pair counts grow linearly (10x) — while cross-replica cosines
+  decorrelate (the components are iid-ish, so a rotated copy is not a
+  near-duplicate of the original).  A perturbation-only copy (the
+  first version of this generator) made every vector a 10-way
+  near-identical family: pair-emitting queries (embedding near-dup,
+  threshold join, SemDeDup cells) exploded ~100x in OUTPUT rows and
+  the bench stalled pickling the collect — testing output explosion
+  rather than engine scaling, the exact failure mode the documents
+  token-salting avoids for shingle dedup;
 - ``events.user_id`` is deliberately NOT shifted: the events tables'
   queries treat user_id as a low-cardinality hot-key dimension, so a
   10x corpus means 10x rows per user (density growth), mirroring how
@@ -105,7 +116,10 @@ def main() -> int:
             FROM documents"""),
         "embeddings": tiled(lambda i: f"""
             SELECT vec_id + {i * k['v']} AS vec_id,
-                   CAST(list_transform(embedding,
+                   CAST(list_transform(
+                        list_concat(
+                            list_slice(embedding, {i} + 1, len(embedding)),
+                            list_slice(embedding, 1, {i})),
                         x -> x + {i} * 1e-4) AS FLOAT[]) AS embedding,
                    label FROM embeddings"""),
     }
