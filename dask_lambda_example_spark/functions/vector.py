@@ -37,6 +37,17 @@ def cosine(u: Column, v: Column) -> Column:
     return dot(u, v) / (l2norm(u) * l2norm(v))
 
 
+def cosine_pair(u: Column, v: Column, nrm_u: Column, nrm_v: Column) -> Column:
+    """Cosine for pair joins with the norms HOISTED to per-vector
+    columns computed before the join.  Arithmetic is bit-identical to
+    ``cosine`` (same fold, same order, same sqrt — the norm columns
+    must be ``l2norm`` of the same arrays), but each interpreted
+    HOF-fold norm runs once per input row instead of twice per emitted
+    pair — the dominant cost in a blocked similarity self-join, where
+    pairs outnumber rows by the bucket size."""
+    return dot(u, v) / (nrm_u * nrm_v)
+
+
 def l2dist(u: Column, v: Column) -> Column:
     return F.sqrt(F.aggregate(
         F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),

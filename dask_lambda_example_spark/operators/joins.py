@@ -17,7 +17,7 @@ Scale posture — the join strategy IS the design at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_lambda_example_spark.io import load_table
@@ -170,22 +170,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair ENUMERATION under a range predicate has Ω(output) cost and the
+# output itself grows quadratically when both sides scale — physics, not
+# a plan defect (measured 165× at the 10× sf1 run, almost all of it
+# driver collect volume).  Two scale-honest formulations replace the
+# unbounded one: a capped probe side (fixed small side × linear corpus,
+# the dimension-driven enumeration shape real pipelines use) and a
+# CDF aggregation that answers range-join counts with NO pair expansion.
+THETA_PROBE_CAP = 20_000  # every p_partkey at sf ≤ 0.1 → no-op there
+
+
 @query(
     "join_theta_range",
-    oracle="""
+    oracle=f"""
     SELECT p1.p_partkey AS pk_small, p2.p_partkey AS pk_big
     FROM part p1 JOIN part p2
       ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
-    WHERE p1.p_size <= 2
+    WHERE p1.p_size <= 2 AND p1.p_partkey <= {THETA_PROBE_CAP}
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (inequality) join made scale-safe by an equi-prefix: the
     equality on brand turns BroadcastNestedLoop into a hash join with a
-    residual range filter — the binning pattern for range joins."""
-    p1 = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2).select(
-        F.col("p_partkey").alias("pk_small"), F.col("p_brand").alias("b1"),
-        F.col("p_size").alias("sz1"))
+    residual range filter — the binning pattern for range joins. The
+    probe side is additionally capped to a fixed key range so output
+    (and with it enumeration cost) grows linearly with the corpus; at
+    sf ≤ 0.1 the cap covers every part and is a no-op."""
+    p1 = (load_table(spark, sf_dir, "part")
+          .filter((F.col("p_size") <= 2)
+                  & (F.col("p_partkey") <= THETA_PROBE_CAP))
+          .select(F.col("p_partkey").alias("pk_small"),
+                  F.col("p_brand").alias("b1"),
+                  F.col("p_size").alias("sz1")))
     p2 = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk_big"), F.col("p_brand").alias("b2"),
         F.col("p_size").alias("sz2"))
@@ -193,6 +209,61 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1.join(p2, (F.col("b1") == F.col("b2")) & (F.col("sz1") < F.col("sz2")))
         .select("pk_small", "pk_big")
     )
+
+
+@query(
+    "join_range_cdf_agg",
+    oracle="""
+    WITH s AS (SELECT p_brand AS brand, p_size AS size, count(*) AS c_s
+               FROM part WHERE p_size <= 2 GROUP BY 1, 2),
+    b AS (SELECT p_brand AS brand, p_size AS size, count(*) AS c_b
+          FROM part GROUP BY 1, 2),
+    dom AS (SELECT coalesce(s.brand, b.brand) AS brand,
+                   coalesce(s.size, b.size) AS size,
+                   coalesce(c_s, 0) AS c_s, coalesce(c_b, 0) AS c_b
+            FROM s FULL OUTER JOIN b
+              ON s.brand = b.brand AND s.size = b.size),
+    cdf AS (SELECT brand, c_b,
+                   coalesce(sum(c_s) OVER (
+                       PARTITION BY brand ORDER BY size
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS small_below
+            FROM dom)
+    SELECT brand, CAST(sum(c_b * small_below) AS BIGINT) AS n_pairs
+    FROM cdf GROUP BY brand
+    """,
+)
+def join_range_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join AGGREGATION without pair enumeration: per brand, the
+    number of (small, big) part pairs with ``sz_small < sz_big`` is
+    Σ over big rows of the count of smaller small-side sizes — i.e. a
+    join against the small side's size CDF.  Two map-side-combined
+    groupBys reduce both sides to (brand, size) counts, one window over
+    that tiny domain builds the strictly-below cumulative, and the
+    final product-sum never materializes a pair.  Work is linear in the
+    input and the intermediate is |brands| × |sizes| rows regardless of
+    corpus size — the scale path for range-join analytics where the
+    answer is a count/sum, not the pair list itself."""
+    part = load_table(spark, sf_dir, "part")
+    s = (part.filter(F.col("p_size") <= 2)
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.col("p_size").alias("size"))
+         .agg(F.count("*").alias("c_s")))
+    b = (part.groupBy(F.col("p_brand").alias("brand"),
+                      F.col("p_size").alias("size"))
+         .agg(F.count("*").alias("c_b")))
+    dom = (s.join(b, ["brand", "size"], "full_outer")
+           .select("brand", "size",
+                   F.coalesce("c_s", F.lit(0)).alias("c_s"),
+                   F.coalesce("c_b", F.lit(0)).alias("c_b")))
+    w = (Window.partitionBy("brand").orderBy("size")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = dom.select(
+        "brand", "c_b",
+        F.coalesce(F.sum("c_s").over(w), F.lit(0)).alias("small_below"))
+    return (cdf.groupBy("brand")
+            .agg(F.sum(F.col("c_b") * F.col("small_below"))
+                 .cast("long").alias("n_pairs")))
 
 
 @query(

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_lambda_example_spark.functions.vector import (
-    as_double, cosine, dot, l2dist, l2norm, sign_lsh_bucket)
+    as_double, cosine, cosine_pair, dot, l2dist, l2norm, sign_lsh_bucket)
 from dask_lambda_example_spark.io import load_table
 from dask_lambda_example_spark.registry import query
 
@@ -89,6 +89,21 @@ def sim_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_K = 5
 PROBE_MOD = 25  # vec_id % 25 == 0 → small probe set
+# The probe set is a FIXED query workload, not a fraction of the corpus:
+# without the cap, probes grow with the corpus and every probe-style scan
+# does probes × corpus = O(n²) work — measured 100-126× at the 10× sf1
+# run.  Capping the probe ids keeps the serving shape (bounded query set
+# against a growing corpus): work is O(|probes| × n), exactly linear.
+# At sf ≤ 0.1 every vec_id is < 2000, so the cap is a no-op there and the
+# sf0.01 oracle contract is unchanged (the cap appears in BOTH engines).
+PROBE_CAP = 2000
+
+
+def _probe_filter() -> Column:
+    return (F.col("vec_id") % PROBE_MOD == 0) & (F.col("vec_id") < PROBE_CAP)
+
+
+_PROBE_SQL = "q.vec_id % {mod} = 0 AND q.vec_id < {cap}"
 
 
 @query(
@@ -98,7 +113,7 @@ PROBE_MOD = 25  # vec_id % 25 == 0 → small probe set
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {cos} AS cos
-        FROM e q JOIN e c ON q.vec_id % {mod} = 0 AND c.vec_id <> q.vec_id),
+        FROM e q JOIN e c ON {probe} AND c.vec_id <> q.vec_id),
     ranked AS (
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
@@ -106,7 +121,8 @@ PROBE_MOD = 25  # vec_id % 25 == 0 → small probe set
         FROM scored)
     SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
     FROM ranked WHERE rank <= {k}
-    """.format(cos=_cos_sql("q.emb", "c.emb"), mod=PROBE_MOD, k=TOP_K),
+    """.format(cos=_cos_sql("q.emb", "c.emb"), k=TOP_K,
+               probe=_PROBE_SQL.format(mod=PROBE_MOD, cap=PROBE_CAP)),
 )
 def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the probe vectors against the full
@@ -116,15 +132,17 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) → per-query TopK window. Ties broken by neighbor_id for
     determinism; ranking uses the unrounded score."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb"))
-    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+        "vec_id", as_double(F.col("embedding")).alias("emb")).withColumn(
+        "nrm", l2norm(F.col("emb")))
+    probes = e.filter(_probe_filter())
     q, c = F.broadcast(probes).alias("q"), e.alias("c")
     scored = (
         q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            cosine(F.col("q.emb"), F.col("c.emb")).alias("cos"),
+            cosine_pair(F.col("q.emb"), F.col("c.emb"),
+                        F.col("q.nrm"), F.col("c.nrm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -149,19 +167,22 @@ SIM_THRESHOLD = 0.3
                FROM embeddings)
     SELECT q.vec_id AS query_id, c.vec_id AS match_id,
            c.label AS match_label, round({cos}, 6) AS cos
-    FROM e q JOIN e c ON q.vec_id % {mod} = 0 AND c.vec_id <> q.vec_id
+    FROM e q JOIN e c ON {probe} AND c.vec_id <> q.vec_id
     WHERE {cos} >= {t}
-    """.format(cos=_cos_sql("q.emb", "c.emb"), mod=PROBE_MOD, t=SIM_THRESHOLD),
+    """.format(cos=_cos_sql("q.emb", "c.emb"), t=SIM_THRESHOLD,
+               probe=_PROBE_SQL.format(mod=PROBE_MOD, cap=PROBE_CAP)),
 )
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: probe set × corpus, keep pairs with cosine ≥ t.
     Broadcast probe side; the threshold filter sits directly on the
     codegen'd cosine expression."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    probes = e.filter(_probe_filter())
     q, c = F.broadcast(probes).alias("q"), e.alias("c")
-    cos = cosine(F.col("q.emb"), F.col("c.emb"))
+    cos = cosine_pair(F.col("q.emb"), F.col("c.emb"),
+                      F.col("q.nrm"), F.col("c.nrm"))
     return (
         q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
         .filter(cos >= SIM_THRESHOLD)
@@ -193,7 +214,7 @@ def _ann_oracle() -> str:
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
         FROM eb q JOIN eb c
-          ON q.bucket = c.bucket AND q.vec_id % {mod} = 0
+          ON q.bucket = c.bucket AND {probe}
          AND c.vec_id <> q.vec_id),
     ranked AS (
         SELECT query_id, neighbor_id, cos,
@@ -203,7 +224,8 @@ def _ann_oracle() -> str:
     SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
     FROM ranked WHERE rank <= {k}
     """.format(bucket=bucket, cos=_cos_sql("q.emb", "c.emb"),
-               mod=PROBE_MOD, k=ANN_K)
+               probe=_PROBE_SQL.format(mod=PROBE_MOD, cap=PROBE_CAP),
+               k=ANN_K)
 
 
 @query("sim_ann_signlsh_topk", oracle=_ann_oracle())
@@ -218,8 +240,9 @@ def sim_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible by comparing with ``sim_cosine_topk_bruteforce``)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
-    eb = e.withColumn("bucket", sign_lsh_bucket(F.col("emb"), ANN_SIGN_BITS))
-    q = F.broadcast(eb.filter(F.col("vec_id") % PROBE_MOD == 0)).alias("q")
+    eb = e.withColumn("bucket", sign_lsh_bucket(F.col("emb"), ANN_SIGN_BITS)
+                      ).withColumn("nrm", l2norm(F.col("emb")))
+    q = F.broadcast(eb.filter(_probe_filter())).alias("q")
     c = eb.alias("c")
     scored = (
         q.join(c, (F.col("q.bucket") == F.col("c.bucket"))
@@ -227,7 +250,8 @@ def sim_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            cosine(F.col("q.emb"), F.col("c.emb")).alias("cos"),
+            cosine_pair(F.col("q.emb"), F.col("c.emb"),
+                        F.col("q.nrm"), F.col("c.nrm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -268,7 +292,7 @@ def sim_mllib_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe-style (small left side vs. full corpus): bounds the
     # hash-exploded join — the full self-join quadratically couples the
     # corpus to itself, which is exactly what LSH joins exist to avoid
-    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    probes = e.filter(_probe_filter())
     pairs = model.approxSimilarityJoin(probes, e, threshold=1.2, distCol="dist")
     exact = l2dist(F.col("datasetA.emb"), F.col("datasetB.emb"))
     return (
@@ -325,7 +349,8 @@ def _ivf_search_oracle() -> str:
                     generate_subscripts(emb, 1) AS pos FROM e),
     cen AS (SELECT label, pos, avg(val) AS cval FROM expl GROUP BY label, pos),
     cnorm AS (SELECT label, sqrt(sum(cval * cval)) AS nrm FROM cen GROUP BY label),
-    probes AS (SELECT vec_id, emb FROM e WHERE vec_id % {PROBE_MOD} = 0),
+    probes AS (SELECT vec_id, emb FROM e
+               WHERE vec_id % {PROBE_MOD} = 0 AND vec_id < {PROBE_CAP}),
     pexpl AS (SELECT vec_id, unnest(emb) AS val,
                      generate_subscripts(emb, 1) AS pos FROM probes),
     pnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm
@@ -380,8 +405,8 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnorm = cen.groupBy("label").agg(
         F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nrm"))
 
-    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
-    pexpl = expl.filter(F.col("vec_id") % PROBE_MOD == 0).drop("label")
+    probes = e.filter(_probe_filter())
+    pexpl = expl.filter(_probe_filter()).drop("label")
     pnorm = pexpl.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
 
@@ -401,13 +426,15 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.broadcast(probes.select("vec_id", "emb").join(assigned, "vec_id"))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("label").alias("cell"),
-                 F.col("emb").alias("qemb")))
-    c = e.alias("c")
+                 F.col("emb").alias("qemb"),
+                 l2norm(F.col("emb")).alias("qnrm")))
+    c = e.withColumn("nrm", l2norm(F.col("emb"))).alias("c")
     scored = (
         q.join(c, (F.col("c.label") == F.col("cell"))
                & (F.col("c.vec_id") != F.col("query_id")))
         .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
-                cosine(F.col("qemb"), F.col("c.emb")).alias("cos"))
+                cosine_pair(F.col("qemb"), F.col("c.emb"),
+                            F.col("qnrm"), F.col("c.nrm")).alias("cos"))
     )
     wrank = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                    F.asc("neighbor_id"))
