@@ -620,3 +620,59 @@ def test_bench_regression_gate():
         f"{cur_art.name}: {bad}")
     failed = [n for n, t in cur.items() if t < 0]
     assert not failed, f"queries failing in {cur_art.name}: {failed}"
+
+
+def test_adaptive_extra_bits_pins_bucket_size():
+    # the sf1 lesson: fixed blocking resolution is quadratic in
+    # disguise.  adaptive_extra_bits must (a) stay 0 at-or-below the
+    # threshold so the static oracle blocking is untouched, and (b)
+    # add exactly enough bits that expected bucket size never exceeds
+    # the threshold as n grows.
+    from dask_lambda_example_spark.operators.dedup import (
+        adaptive_extra_bits)
+
+    assert adaptive_extra_bits(100, 2048) == 0
+    assert adaptive_extra_bits(2048, 2048) == 0
+    for n in (2049, 4096, 20_000, 1_000_000, 10**9):
+        bits = adaptive_extra_bits(n, 2048)
+        assert n / (2 ** bits) <= 2048, (n, bits)
+        # and not over-split: one fewer bit would exceed the threshold
+        assert bits == 0 or n / (2 ** (bits - 1)) > 2048, (n, bits)
+
+
+def test_probe_cap_noop_at_test_scale(spark, sf_dir):
+    # PROBE_CAP exists to pin the probe WORKLOAD while the corpus
+    # grows; at the oracle/test scales every vec_id is under the cap,
+    # so the capped filter must select exactly the mod-class — the
+    # documented no-op that keeps the sf0.01 contract unchanged.
+    from dask_lambda_example_spark.io import load_table
+    from dask_lambda_example_spark.operators.similarity import (
+        PROBE_CAP, PROBE_MOD, _probe_filter)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert e.filter(F.col("vec_id") >= PROBE_CAP).count() == 0
+    capped = e.filter(_probe_filter()).count()
+    uncapped = e.filter(F.col("vec_id") % PROBE_MOD == 0).count()
+    assert capped == uncapped > 0
+
+
+def test_cosine_pair_bit_identical_to_cosine(spark):
+    # cosine_pair hoists the norms out of the pair expression; the
+    # contract is BIT-identical doubles (same fold, same order, same
+    # sqrt) — this is what lets the hoisted plan keep the DuckDB
+    # oracle's exact value-hash.
+    from dask_lambda_example_spark.functions.vector import cosine_pair
+
+    df = spark.createDataFrame(
+        [([0.1, -0.7, 0.33, 1e-8], [2.0, 0.51, -0.9, 3.7]),
+         ([1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0])],
+        "u array<double>, v array<double>")
+    rows = (df
+            .withColumn("nu", l2norm(F.col("u")))
+            .withColumn("nv", l2norm(F.col("v")))
+            .select(cosine(F.col("u"), F.col("v")).alias("inline"),
+                    cosine_pair(F.col("u"), F.col("v"),
+                                F.col("nu"), F.col("nv")).alias("hoisted"))
+            ).collect()
+    for r in rows:
+        assert r.inline == r.hoisted  # exact, not approx
