@@ -33,18 +33,43 @@ def main() -> None:
     # reference's long-running cluster.
     QUERIES["flagship_groupby_mean_std"].fn(spark, sf_dir).collect()
 
+    # Sink mode: "collect" (default — the driver's own action, includes
+    # JVM→Python row materialization) or "noop" (Spark's built-in no-op
+    # DataSourceV2 sink: full distributed plan execution, zero driver
+    # materialization — the engine-side number a real pipeline writing
+    # parquet at 100 TB would see). SCALE.md's growth study reports both.
+    sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
+
     times: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for i, name in enumerate(sorted(QUERIES)):
         spec = QUERIES[name]
         t0 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).collect()
+            df = spec.fn(spark, sf_dir)
+            if sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             times[name] = round(time.perf_counter() - t0, 4)
             # progress line per query so a stalled run is attributable
             print(f"BENCH OK {name} {times[name]}", file=sys.stderr, flush=True)
         except Exception as exc:  # record failures, don't kill the run
             times[name] = -1.0
             print(f"BENCH FAIL {name}: {exc}", file=sys.stderr, flush=True)
+        # Harness hygiene, OUTSIDE the timed region: a multi-hundred-query
+        # session accumulates JVM garbage (collect buffers, finished-plan
+        # state) faster than G1 reclaims it under a 90g heap, and
+        # ContextCleaner's periodic GC (30 min default) never fires inside
+        # one run — so long old-gen pauses land on whichever query happens
+        # to allocate next, inflating RANDOM entries 6-12× (measured at
+        # sf1: fn_json_extract 56 s in-session vs 5.2 s fresh-session,
+        # identical plan). Forcing a JVM GC every 16 queries charges
+        # reclamation to the harness, not the victim query.
+        if i % 16 == 15:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
 
@@ -68,6 +93,7 @@ def main() -> None:
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
+        "sink": sink,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),

@@ -75,6 +75,15 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         # repartition instead.)
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
+        ).config(
+            # ContextCleaner only drops shuffle files / broadcast state
+            # when the JVM GCs the owning objects; with a 90g heap G1
+            # may not collect for many minutes, so a long multi-query
+            # session accumulates dead shuffle state on disk and in the
+            # old gen. The default periodic-GC interval (30min) never
+            # fires inside a typical bench/test session — 5min keeps
+            # cleanup amortized. No-op for short sessions.
+            "spark.cleaner.periodicGC.interval", "5min"
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
