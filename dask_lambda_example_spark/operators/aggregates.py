@@ -180,13 +180,94 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (dask ``quantile`` exact path)."""
+    """Exact continuous percentiles (dask ``quantile`` exact path).
+
+    ``F.percentile`` is a TypedImperative aggregate: every value of a
+    group is buffered in ONE aggregation state and merged on one task —
+    fine at test scale, an OOM wall at 100 TB. The scale-safe sibling
+    with identical results is ``agg_percentile_exact_distributed``.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
         F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
         F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
     )
+
+
+@query(
+    "agg_percentile_exact_distributed",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_exact_distributed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles via distributed selection — the
+    100 TB formulation of ``agg_percentile_exact``.
+
+    Why: exact percentile needs global order statistics, and both naive
+    routes die at scale — ``F.percentile`` buffers a whole group in one
+    aggregation state, and a ``Window.partitionBy(group).orderBy(v)``
+    rank sorts a whole group on one task. The selection algorithm keeps
+    every task at O(n/P):
+
+    1. ``repartitionByRange(P, g, v)`` — one range shuffle; bucket i
+       holds a contiguous (g, v) slice (sampled bounds, skew-resistant).
+    2. per-(bucket, g) counts — a tiny P×|G| frame; a prefix sum over it
+       (window over P rows per group) yields each bucket's global rank
+       offset and the group totals n. No driver collect — the frame is
+       broadcast back.
+    3. local ``row_number`` within (bucket, g) + offset = exact global
+       rank, computed with P×|G|-way parallelism.
+    4. each target quantile q needs only ranks ⌊q(n-1)⌋+1 and ⌈q(n-1)⌉+1;
+       a map-side-combined sum of per-row CASE contributions applies the
+       same interpolation DuckDB's ``quantile_cont`` uses:
+       (CRN-RN)·x_lo + (RN-FRN)·x_hi.
+
+    The range exchange feeds both the count branch and the rank branch;
+    Spark's ReuseExchange collapses them to one shuffle (and range-bound
+    sampling is seed-deterministic, so even a recompute assigns identical
+    buckets).
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_extendedprice").alias("v"))
+    n_buckets = spark.sparkContext.defaultParallelism
+    ranged = (li.repartitionByRange(n_buckets, "g", "v")
+              .withColumn("pid", F.spark_partition_id()))
+
+    pc = ranged.groupBy("pid", "g").agg(F.count("*").alias("cnt"))
+    w_off = Window.partitionBy("g").orderBy("pid")
+    offsets = pc.select(
+        "pid", "g",
+        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n"))
+
+    w_local = Window.partitionBy("pid", "g").orderBy("v")
+    ranked = (ranged.join(F.broadcast(offsets), ["pid", "g"])
+              .withColumn("idx",  # 0-indexed global rank
+                          F.row_number().over(w_local) + F.col("off") - 1))
+
+    def contrib(q: float):
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        frn, crn = F.floor(pos), F.ceil(pos)
+        return (
+            F.when((F.col("idx") == frn) & (frn == crn), F.col("v"))
+            .when(F.col("idx") == frn, (crn.cast("double") - pos) * F.col("v"))
+            .when(F.col("idx") == crn, (pos - frn.cast("double")) * F.col("v"))
+        )
+
+    return (ranked.groupBy("g")
+            .agg(*[F.round(F.sum(contrib(q)), 6).alias(a)
+                   for q, a in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]])
+            .withColumnRenamed("g", "l_linestatus"))
 
 
 @query(

@@ -72,7 +72,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     identifies a training sequence. At a 1000-executor scale you raise
     N_PACK_BUCKETS to O(cores) — packing quality is unaffected because
     chunking never wastes tokens regardless of stream count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
@@ -131,7 +131,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the split discipline that matters: hash-based
     assignment needs no global sort, no sampling pass, and no persisted
     assignment table — any job recomputes membership from the id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     h = F.pmod(hex32(F.col("doc_id").cast("string")), F.lit(100))
     split = (F.when(h < VAL_LO, "train")
              .when(h < TEST_LO, "val")
@@ -180,7 +180,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipelines run this AFTER dedup expecting zero; the synthetic corpus
     has planted duplicates, so the non-zero count here is the audit
     working."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     h = F.pmod(hex32(F.col("doc_id").cast("string")), F.lit(100))
     side = F.when(h < VAL_LO, "train").otherwise("heldout")
     g = (
@@ -240,7 +240,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gate is a pure per-row projection — zero shuffle for the
     sampling itself; the audit is one lang-keyed aggregation. At 100 TB
     sampling therefore costs a scan, nothing more."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     rate = F.col("lang")
     expr = None
     for k, v in STRAT_RATES.items():
@@ -306,7 +306,7 @@ def mix_domain_dosage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One domain-keyed aggregation over a per-row projection — the same
     single-shuffle shape at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     srcnum = F.substring(F.col("source"), 4, 10).cast("int")
     domain = (F.when(srcnum < 10, "web")
               .when(srcnum < 15, "books")
@@ -389,7 +389,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Survivor-set semantics are cumulative-AND, so a stage
     can only shrink the funnel — the invariant a curation run reports
     to its operator."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     ex = (dedup_exact_hash(spark, sf_dir)
           .select("doc_id", F.lit(True).alias("p1")))
     rep = (text_repetition_filter(spark, sf_dir)
@@ -483,7 +483,7 @@ def pipeline_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lambda_example_spark.operators.text import (
         text_repetition_filter, text_unigram_lm_score)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     ex = dedup_exact_hash(spark, sf_dir).select("doc_id")
     rep = (text_repetition_filter(spark, sf_dir)
            .filter(F.col("keep")).select("doc_id"))
@@ -503,3 +503,54 @@ def pipeline_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").alias("n_tokens"),
              F.countDistinct("source").alias("n_sources"))
     )
+
+
+# seeded training-order shuffle: shard count + seed are part of the
+# dataset release spec — changing either is a new epoch order
+SHUFFLE_SEED, N_SHARDS = 42, 16
+
+
+@query(
+    "curation_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS okey,
+             {HEX32_SQL.format(
+                 x=f"'shard:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY okey)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle — the reproducible
+    training-order pass every corpus release needs before sequence
+    packing. Each doc's order key is md5(seed || doc_id): reproducible
+    across runs/engines (no RNG state), and re-seedable per epoch.
+
+    Scale shape: a TOTAL order over 100 TB would funnel into one sorted
+    range anyway at write time, so real pipelines shuffle into SHARDS —
+    hash-assign each doc to one of N_SHARDS shards (pure projection,
+    seed-salted so shard membership reshuffles per epoch too), then
+    order WITHIN each shard by the order key. One hash shuffle on
+    shard, N_SHARDS-way parallel sorts, no global sort, no single-task
+    window — each (shard, pos) range becomes one training file.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    okey = F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"),
+                          F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        hex32(F.concat(F.lit(f"shard:{SHUFFLE_SEED}:"),
+                       F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS))
+    keyed = d.select("doc_id", okey.alias("okey"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("okey")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"))

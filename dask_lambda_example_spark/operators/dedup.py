@@ -176,7 +176,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on the 128-bit content hash; at 100 TB the hash (16 B)
     shuffles, never the document bytes."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return (
         d.withColumn("content_hash", F.md5("text"))
@@ -202,7 +202,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, report group size and the survivor. The groupBy form —
     partial aggregation makes the shuffle carry one row per distinct
     hash per map partition."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.withColumn("norm_hash", F.md5(norm))
@@ -247,7 +247,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short by construction (unigram posting lists are not — see
     ``shingles``); residual hot shingles are AQE-skew-split, and the
     MinHash variant below is the designed escape for true web scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = shingles(d)
     cap = shingle_df_cap()
     if cap is not None:
@@ -321,7 +321,7 @@ def dedup_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected and per-list pair expansion is bounded at cap²/2
     candidates regardless of how much boilerplate the corpus carries.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     kept = drop_stop_shingles(shingles(d).select("doc_id", "token"),
                               STOP_SHINGLE_DF_CAP)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -420,7 +420,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline* (same seeds, same banding), so agreement is bit-exact —
     including LSH's false negatives — rather than probabilistic.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     # The shingle index feeds three consumers (signature build + both
     # sides of the verification join); materialize() pins it once —
     # .cache() locally (CacheManager keys on the logical plan, so
@@ -536,7 +536,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one groupBy — the 32 bit-sums are computed in a single
     aggregation pass (partial map-side combine keeps the shuffle at one
     34-column row per doc per partition)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     th = tokens(d).withColumn("th", hex32(F.col("token")))
     bits = th.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(1) == 1, 1)
@@ -619,7 +619,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lambda_example_spark.functions.vector import (
         as_double, cosine_pair, l2norm, sign_lsh_bucket)
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     # clamp: sign bits consume leading dims; 24 bits = 16M buckets is
     # far past any local scale and stays well inside the 64-dim vectors
     n_bits = min(
@@ -687,7 +687,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join back for the flag. At 100 TB the benchmark n-gram set is
     a broadcast bloom/exact set; the corpus is touched once, no
     self-coupling."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     ws = F.split(F.col("text"), " ")
 
     def gram5(df: DataFrame) -> DataFrame:
@@ -766,7 +766,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys could be hashed (md5) to bound shuffle width at scale — kept
     as raw text here so the oracle comparison covers the exact strings.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     n_chunks_expr = F.ceil(F.size(F.col("toks")) / float(CHUNK_WORDS))
     chunks = t.select(
@@ -855,7 +855,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver-side loop is control flow only (one scalar per round) —
     all data stays distributed."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
@@ -952,7 +952,7 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lambda_example_spark.functions.vector import (
         as_double, cosine_pair, l2norm, sign_lsh_bucket)
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     n, n_cells = e.agg(
         F.count("*"), F.countDistinct("label")).first()

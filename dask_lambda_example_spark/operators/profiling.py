@@ -54,7 +54,7 @@ def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, lang, source), and stringified min/max. One aggregation
     pass; the single wide result row unpivots to rows via ``stack``
     (an Expand projection — no second scan, no driver loop)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     cols = [("doc_id", True), ("text", False), ("lang", True),
             ("source", True), ("n_chars", False)]
     aggs = [F.count("*").alias("n_rows")]
@@ -108,7 +108,7 @@ def profile_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar totals; nothing corpus-sized ever joins or sorts.
     Float discipline: shares and KL terms round(·,6)→float32 on both
     sides (ln is libm-adjacent but the rounding margin was verified)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     a = (d.filter(F.col("doc_id") % 2 == 0)
          .groupBy("lang").agg(F.count("*").alias("na")))
     b = (d.filter(F.col("doc_id") % 2 == 1)

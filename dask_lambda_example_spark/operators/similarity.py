@@ -67,7 +67,7 @@ def _cos_sql(a: str, b: str) -> str:
 def sim_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector math battery (dot, L2 norm, L2 distance, cosine) over
     consecutive-id pairs — all codegen'd HOF expressions."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
     a, b = e.alias("a"), e.alias("b")
     ea, eb = F.col("a.emb"), F.col("b.emb")
@@ -131,7 +131,7 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for scale: ``broadcast(probes)`` × corpus scan (no corpus
     shuffle) → per-query TopK window. Ties broken by neighbor_id for
     determinism; ranking uses the unrounded score."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", as_double(F.col("embedding")).alias("emb")).withColumn(
         "nrm", l2norm(F.col("emb")))
     probes = e.filter(_probe_filter())
@@ -176,7 +176,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: probe set × corpus, keep pairs with cosine ≥ t.
     Broadcast probe side; the threshold filter sits directly on the
     codegen'd cosine expression."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     ).withColumn("nrm", l2norm(F.col("emb")))
     probes = e.filter(_probe_filter())
@@ -238,7 +238,7 @@ def sim_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the identical bucketing, so the approximation itself
     is value-hash-checked (recall loss vs. the brute-force query is
     visible by comparing with ``sim_cosine_topk_bruteforce``)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
     eb = e.withColumn("bucket", sign_lsh_bucket(F.col("emb"), ANN_SIGN_BITS)
                       ).withColumn("nrm", l2norm(F.col("emb")))
@@ -280,7 +280,7 @@ def sim_mllib_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         as_double(F.col("embedding")).alias("emb"),
         array_to_vector(F.col("embedding")).alias("features"),
@@ -331,7 +331,7 @@ def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``posexplode`` + one grouped average. At scale this is a single
     partial+final aggregation over n_cells × dim groups, regardless of
     corpus size."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     return (
         e.select("label", F.posexplode(as_double(F.col("embedding")))
                  .alias("pos0", "val"))
@@ -394,7 +394,7 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-cell rerank uses the exact HOF cosine. The oracle replicates the
     whole pipeline — assignment mistakes (vs. brute force) are part of
     the checked contract."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     expl = e.select(
         "vec_id", "label",
@@ -471,7 +471,7 @@ def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     other vector op (bit-identical to the oracle), rounding happens on
     identical doubles, and the int codes serialize for the hash. The
     dequantize side is the same transform with /127."""
-    e = (load_table(spark, sf_dir, "embeddings")
+    e = (load_table(spark, sf_dir, "embeddings", parallel=True)
          .filter(F.col("vec_id") % 10 == 0)
          .select("vec_id", as_double(F.col("embedding")).alias("emb")))
     nrm = l2norm(F.col("emb"))
@@ -546,7 +546,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector op, so the greedy argmax (tie-break vec_id) is bit-exact
     across engines and the oracle unrolls the identical {k}-step
     recurrence."""
-    e = (load_table(spark, sf_dir, "embeddings")
+    e = (load_table(spark, sf_dir, "embeddings", parallel=True)
          .select("vec_id", as_double(F.col("embedding")).alias("emb")))
     p = (e.filter(F.col("vec_id") == MMR_PROBE)
          .select(F.col("emb").alias("pemb")))

@@ -50,7 +50,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower/Title/number/punct pieces — a deterministic stand-in for a
     real BPE vocab), chars, mean token length. Pure projection — no
     shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     n_ws = F.size(F.split(F.col("text"), " "))
     return d.select(
         "doc_id",
@@ -158,7 +158,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword signals combined
     into one bounded score — the doc-filtering primitive of a training
     data pipeline. Projection-only."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     toks = F.split(F.col("text"), " ")
     n_chars = F.length("text")
     n_tokens = F.size(toks)
@@ -257,7 +257,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME materialized token array (never re-splitting inside the HOF
     lambda — Catalyst re-evaluates lambda-captured expressions per
     element)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = d.select(
         "doc_id",
         F.split(F.col("text"), " ").alias("toks"),
@@ -319,7 +319,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on (doc, term); document frequency is a small vocabulary-sized
     table broadcast back onto TF — the classic inverted-index plan that
     survives any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -362,7 +362,7 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level term frequency top-20: explode → one token-keyed
     aggregation (map-side partial combine collapses each partition to
     vocabulary size before the shuffle) → TakeOrdered top-k."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     return (
         tok.groupBy("term")
@@ -423,7 +423,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note DuckDB replaces only the first match unless given the 'g'
     flag; Spark's regexp_replace is global by default — the oracle
     carries the flag so both sides scrub every occurrence."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     dirty = d.select(
         "doc_id",
         F.concat(
@@ -483,7 +483,7 @@ def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each partition to vocabulary size before the shuffle);
     the ranked head is a window over the vocabulary-sized aggregate,
     never over the corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("c"))
     ranked = tf.withColumn(
@@ -543,7 +543,7 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32-cast on both sides (avg-of-logs accumulates in
     engine-specific order; last-ulp noise exceeds 6-decimal rounding at
     hash strictness)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tot = tok.agg(F.count("*").alias("n"))
@@ -618,7 +618,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the token stream total — same as any n-gram order, only the
     broadcast side grows. Scores are float32-cast (avg-of-logs
     accumulates in engine order)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     ws = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     n = F.size(F.col("toks"))
     bigrams = F.zip_with(
@@ -692,7 +692,7 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document by one doc-keyed aggregation — order restored via
     position sort inside the group, not a global sort. Output ids are
     space-joined strings so the value hash crosses engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     tok = (
         d.select("doc_id",
                  F.posexplode(F.split(F.col("text"), " "))
@@ -762,7 +762,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows never cut context at a hard edge. Tail rule: every doc
     yields at least one chunk; starts stride until fewer than a full
     chunk remains (the final partial chunk carries the remainder)."""
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = load_table(spark, sf_dir, "documents", parallel=True).filter(
         F.col("doc_id") % 10 == 0)
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     n = F.size("t")

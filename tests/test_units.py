@@ -676,3 +676,35 @@ def test_cosine_pair_bit_identical_to_cosine(spark):
             ).collect()
     for r in rows:
         assert r.inline == r.hoisted  # exact, not approx
+
+
+def test_distributed_percentile_matches_buffered(spark, sf_dir):
+    # the distributed-selection percentile must reproduce the buffered
+    # F.percentile values exactly (same quantile_cont interpolation,
+    # commutative two-term sum) — this is the guarantee that lets the
+    # 100 TB formulation keep the same DuckDB oracle as its sibling.
+    from dask_lambda_example_spark.operators.aggregates import (
+        agg_percentile_exact, agg_percentile_exact_distributed)
+
+    buffered = {r["l_linestatus"]: (r["p50"], r["p90"], r["p99"])
+                for r in agg_percentile_exact(spark, sf_dir).collect()}
+    dist = {r["l_linestatus"]: (r["p50"], r["p90"], r["p99"])
+            for r in agg_percentile_exact_distributed(spark,
+                                                      sf_dir).collect()}
+    assert buffered == dist
+
+
+def test_distributed_percentile_rank_plan(spark, sf_dir):
+    # plan contract: the rank is computed per (bucket, group) — the
+    # window sort key must include pid so no task ever sorts a whole
+    # group (that single-task sort is exactly what this operator
+    # exists to avoid).
+    from dask_lambda_example_spark.operators.aggregates import (
+        agg_percentile_exact_distributed)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(agg_percentile_exact_distributed(spark, sf_dir))
+    assert "row_number" in plan.lower()
+    window_lines = [ln for ln in plan.splitlines()
+                    if "row_number" in ln.lower()]
+    assert any("pid" in ln for ln in window_lines), window_lines
