@@ -708,3 +708,18 @@ def test_distributed_percentile_rank_plan(spark, sf_dir):
     window_lines = [ln for ln in plan.splitlines()
                     if "row_number" in ln.lower()]
     assert any("pid" in ln for ln in window_lines), window_lines
+
+
+def test_parallel_load_defeats_single_row_group(spark, sf_dir):
+    # the sf1 lesson: documents/embeddings are single-row-group files,
+    # so CPU-dense scans collapse to ONE task regardless of cores
+    # (byte-range splits can't help — a range with no row-group start
+    # reads nothing). parallel=True must rebalance to session
+    # parallelism; pruning still pushes below the exchange.
+    from dask_lambda_example_spark.io import load_table
+
+    plain = load_table(spark, sf_dir, "documents")
+    par = load_table(spark, sf_dir, "documents", parallel=True)
+    n = spark.sparkContext.defaultParallelism
+    assert par.rdd.getNumPartitions() == n
+    assert plain.count() == par.count()

@@ -21,6 +21,9 @@ import sys
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
     base_f, big_f = args[0], args[1]
 
     def opt(name: str, default: float) -> float:
