@@ -40,8 +40,20 @@ def main() -> None:
     # parquet at 100 TB would see). SCALE.md's growth study reports both.
     sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
 
+    # Optional comma-separated name filter for targeted scale runs
+    # (e.g. re-measuring one operator at sf1 without the full battery).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = sorted(QUERIES)
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            print(f"BENCH WARN unknown names in SPARK_GRAFT_BENCH_ONLY: "
+                  f"{sorted(unknown)}", file=sys.stderr)
+        names = [n for n in names if n in wanted]
+
     times: dict[str, float] = {}
-    for i, name in enumerate(sorted(QUERIES)):
+    for i, name in enumerate(names):
         spec = QUERIES[name]
         t0 = time.perf_counter()
         try:

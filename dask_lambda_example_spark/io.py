@@ -110,6 +110,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def parquet_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of one driver table from parquet FOOTER metadata —
+    a driver-local file-stat read, NO Spark job. Operators that size an
+    adaptive knob to the corpus (blocking bits, broadcast-vs-shuffle
+    dispatch) use this instead of an eager ``df.count()`` so that merely
+    CONSTRUCTING their DataFrame never launches a job (ADVICE r4: eager
+    actions at plan-build time break plan inspection and composition).
+    On a real cluster the same number comes from the table catalog /
+    manifest; footer num_rows is the file-system-only equivalent."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    if p.is_file():
+        return pq.ParquetFile(p).metadata.num_rows
+    # directory-of-parts layout (partitioned writes)
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in sorted(p.rglob("*.parquet")))
+
+
+def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
+    """Exact distinct count of ONE column, read driver-locally with
+    pyarrow (no Spark job at plan-construction time — ADVICE r4).
+    Used where an adaptive knob needs the cardinality of a small
+    partitioning column (e.g. the SemDeDup quantizer-cell id). At real
+    scale this number IS configuration — a quantizer's k, a partition
+    count — or comes from catalog/NDV statistics; reading the column is
+    the file-system-only stand-in and is only appropriate for columns
+    whose table fits a driver read."""
+    import pathlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    seen: set = set()
+    for f in files:
+        col = pq.read_table(f, columns=[column])[column]
+        seen.update(pc.unique(col).to_pylist())
+    return len(seen)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

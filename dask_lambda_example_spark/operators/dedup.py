@@ -619,11 +619,17 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lambda_example_spark.functions.vector import (
         as_double, cosine_pair, l2norm, sign_lsh_bucket)
 
+    from dask_lambda_example_spark.io import parquet_rowcount
+
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     # clamp: sign bits consume leading dims; 24 bits = 16M buckets is
-    # far past any local scale and stays well inside the 64-dim vectors
+    # far past any local scale and stays well inside the 64-dim vectors.
+    # n comes from parquet FOOTER metadata (catalog statistics at real
+    # scale) — constructing this DataFrame launches no Spark job
+    # (ADVICE r4: an eager count() here made plan inspection eager too).
+    n = parquet_rowcount(sf_dir, "embeddings")
     n_bits = min(
-        SIGN_BITS + adaptive_extra_bits(e.count(), EMB_BUCKET_N_THRESHOLD), 24)
+        SIGN_BITS + adaptive_extra_bits(n, EMB_BUCKET_N_THRESHOLD), 24)
     ed = e.select(
         "vec_id",
         sign_lsh_bucket(F.col("embedding"), n_bits).alias("bucket"),
@@ -916,7 +922,7 @@ SEM_CELL_N_THRESHOLD = 512  # per-cell size above which cells subdivide
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings)
-    SELECT a.label AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT CAST(a.label AS VARCHAR) AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_cosine_sql('a.emb', 'b.emb')}, 6) AS cos,
            b.vec_id AS drop_id
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -947,22 +953,28 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     is refined with ``adaptive_extra_bits`` sign-LSH sub-bits (a
     stand-in for re-running the quantizer at larger k), bounding
     Σ|cell|² to n × threshold — linear pair work.  At oracle scale the
-    average cell is ≤ the threshold, 0 sub-bits, and the static
-    label-only SQL blocking matches exactly."""
+    average cell is ≤ the threshold, 0 sub-bits, and the SQL blocking
+    matches exactly.  Two hygiene contracts (ADVICE r4): the sizing
+    inputs come from parquet footer metadata / a driver-local column
+    read — NO Spark job fires at DataFrame-construction time — and the
+    output ``cell`` column is string at EVERY scale, so the schema is
+    size-invariant whether or not refinement engaged."""
     from dask_lambda_example_spark.functions.vector import (
         as_double, cosine_pair, l2norm, sign_lsh_bucket)
+    from dask_lambda_example_spark.io import parquet_column_ndv, parquet_rowcount
 
-    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    n, n_cells = e.agg(
-        F.count("*"), F.countDistinct("label")).first()
+    n = parquet_rowcount(sf_dir, "embeddings")
+    n_cells = parquet_column_ndv(sf_dir, "embeddings", "label")
     sub_bits = min(
         adaptive_extra_bits(n // max(n_cells, 1), SEM_CELL_N_THRESHOLD), 24)
-    if sub_bits:
-        e = e.withColumn(
-            "label",
-            F.concat_ws("#", F.col("label").cast("string"),
-                        sign_lsh_bucket(F.col("emb"), sub_bits)))
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("label").cast("string").alias("label"),
+        as_double(F.col("embedding")).alias("emb"))
+    # concat_ws in BOTH branches (with a single operand it is the
+    # identity) so the cell id's type AND nullability are identical
+    # whether or not refinement engaged — size-invariant schema
+    refine = [sign_lsh_bucket(F.col("emb"), sub_bits)] if sub_bits else []
+    e = e.withColumn("label", F.concat_ws("#", F.col("label"), *refine))
     e = e.withColumn("nrm", l2norm(F.col("emb")))
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_pair(F.col("a.emb"), F.col("b.emb"),

@@ -59,64 +59,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. Rounds 1-3 verified 135 distinct queries with full oracle rows
-# (CORRECTNESS_r01/r02/r03, all green); re-checking any of them would
-# waste sample slots while 75 names have never been sampled. _ordered()
-# floats never-driver-verified names to the front automatically
+# round. Rounds 1-4 verified 181 distinct queries with full oracle rows
+# (CORRECTNESS_r01-r04, all green); re-checking any of them would waste
+# sample slots while unverified names remain. _ordered() floats
+# never-driver-verified names to the front automatically
 # (driver_verified() reads the PINNED, committed CORRECTNESS artifacts),
-# with this curated list as the head of the round-4 window. The window
-# leads with the four rows-only queries (no oracle → the driver records
-# only that they ran; that weak signal is re-earned EVERY round, since a
-# no-correctness-signal row never marks a query verified — review
-# finding, ADVICE r3), then drains 46 of the 72 never-sampled
-# oracle-gated names: the remaining set-op/subquery shapes, the back
-# half of the TPC-H battery, parse/masking scalar functions, the
-# single-partition window trio, resample/tumbling/as-of-tolerance
-# timeseries, event transitions/anomaly, KL drift, binning, the exact
-# dedup variants, split/stratified curation, and fingerprint/LM/TF text
-# ops. 26 never-sampled names remain for round 5's final sweep; verified
-# names re-register after them, stalest round first, so once the
-# unverified pool is smaller than the window the driver automatically
-# re-samples the longest-unchecked green names (regression detection,
-# ADVICE r3). tests/test_units.py::test_registry_priority_rotation
-# enforces the window invariants.
+# with this curated list as the head of the round-5 window: the four
+# rows-only queries (no oracle → the driver records only that they ran;
+# that weak signal is re-earned EVERY round, since a no-correctness-
+# signal row never marks a query verified — review finding, ADVICE r3),
+# then ALL 30 remaining never-sampled oracle-gated names — this round
+# drains the backlog to zero — then the names added or materially
+# changed in round 5 (the co-partitioned PageRank variant; the SemDeDup
+# query whose `cell` column became schema-invariant string, ADVICE r4).
+# That fills ~37 of the 50 slots; the surplus automatically re-samples
+# the stalest-verified names (regression detection, ADVICE r3).
+# tests/test_units.py::test_registry_priority_rotation enforces the
+# window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —
-    # the driver re-runs them every round (agg_approx_sketches also had
-    # its implementation rewritten in r3; this re-checks the rewrite)
+    # the driver re-runs them every round
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke",
-    # set operations (remaining shapes)
-    "setop_union_all", "setop_intersect", "setop_except",
-    "setop_intersect_all",
-    # subquery shapes
-    "subq_exists_semijoin", "subq_in_semijoin", "subq_uncorrelated_scalar",
-    # TPC-H battery (back half, never sampled)
-    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
-    "q11_important_parts", "q12_priority_classes", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q18_large_orders",
-    "q19_disjunctive_join", "q22_dormant_customers",
-    # aggregate variants + encodings
-    "fn_one_hot_encode", "agg_median_boolean_battery",
-    "agg_histogram_fixed_width",
-    # join strategy hint
-    "join_hint_shuffle_hash",
-    # scalar-function batteries
-    "fn_datetime_parse", "fn_csv_parse", "fn_url_parse_battery",
-    "fn_data_masking",
-    # windows (per-group value pickers)
-    "win_share_of_group", "win_cumprod_compounded", "win_nth_value",
-    # timeseries
-    "ts_resample_1h", "ts_tumbling_window_1d", "ts_asof_join_tolerance",
-    "ts_ohlc_downsample", "ts_time_weighted_avg", "ts_timezone_battery",
-    # event analytics + ML + profiling
-    "ev_transition_paths", "ev_anomaly_zscore", "ml_quantile_binning",
-    "profile_corpus_drift_kl",
-    # dedup variants + curation
-    "dedup_exact_normalized", "dedup_chunk_exact", "split_train_val_test",
-    "sample_stratified_hash",
-    # text tier
-    "text_fingerprint", "text_bigram_lm_score", "text_term_frequency",
+    # round-4 additions, strict-parity-clean but never driver-sampled
+    "agg_percentile_exact_distributed", "curation_global_shuffle",
+    "join_range_cdf_agg", "dedup_jaccard_stopshingle",
+    # timeseries (remaining shapes)
+    "ts_sliding_window", "ts_session_window", "ts_gap_detection",
+    "ts_asof_join_forward", "ts_subseq_similarity",
+    # text tier (remaining)
+    "text_repetition_filter", "text_vocab_zipf", "text_chunk_overlap",
+    # pipeline composites + similarity
+    "pipeline_release_report", "sim_ivf_centroids",
+    # multimodal plumbing
+    "mm_frame_sample", "mm_resize_downsample",
+    # UDF surface (remaining)
+    "udf_map_in_pandas", "udf_python_udtf", "udf_map_in_arrow",
+    "udf_polymorphic_udtf_analyze",
+    # sources/formats (remaining)
+    "synth_timeseries_agg", "fmt_json_roundtrip", "fmt_local_data_broadcast",
+    "fmt_range_sorted_layout", "src_python_stream_datasource",
+    # streaming (remaining)
+    "stream_watermark_late_data", "stream_dedup", "stream_sliding_window",
+    "stream_session_window", "stream_static_join",
+    # round-5 new / materially changed (REVERIFY)
+    "graph_pagerank_copartitioned", "dedup_semdedup_cells",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -128,14 +115,17 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
-# that ran THAT round, not later rewrites). Empty when no verified
-# query's semantics changed since its green round.
-REVERIFY: tuple[str, ...] = ()
+# that ran THAT round, not later rewrites).
+# r5: dedup_semdedup_cells' `cell` output column became string at ALL
+# scales (ADVICE r4 — schema was size-dependent) and its oracle gained
+# the matching CAST; the r3 green row attests the old int32 schema.
+REVERIFY: tuple[str, ...] = ("dedup_semdedup_cells",)
 
 
 def _verdicts() -> dict[str, bool]:

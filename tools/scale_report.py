@@ -15,27 +15,30 @@ any query exceeds the flag threshold, so it can double as a gate.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) < 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    base_f, big_f = args[0], args[1]
+    # argparse (ADVICE r4): a dangling --flag or non-numeric value gets
+    # a usage message instead of an IndexError/bare ValueError
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("base", help="bench JSON at the smaller scale")
+    ap.add_argument("big", help="bench JSON at the larger scale")
+    ap.add_argument("--scale", type=float, default=10.0,
+                    help="data growth factor between the two runs")
+    ap.add_argument("--flag", type=float, default=None,
+                    help="ratio above which a query is flagged "
+                         "(default: scale * 1.2)")
+    ns = ap.parse_args()
+    scale = ns.scale
+    flag = ns.flag if ns.flag is not None else scale * 1.2
 
-    def opt(name: str, default: float) -> float:
-        if f"--{name}" in sys.argv:
-            return float(sys.argv[sys.argv.index(f"--{name}") + 1])
-        return default
-
-    scale = opt("scale", 10.0)
-    flag = opt("flag", scale * 1.2)
-
-    base = json.load(open(base_f))["queries"]
-    big = json.load(open(big_f))["queries"]
+    base = json.load(open(ns.base))["queries"]
+    big = json.load(open(ns.big))["queries"]
 
     rows = []
     for name in sorted(set(base) & set(big)):
@@ -51,7 +54,6 @@ def main() -> int:
     print("|---|---|---|---|---|")
     for ratio, name, b, g in rows:
         if b < 0 or g < 0:
-            verdict = "FAIL"
             flagged.append(name)
             print(f"| {name} | {b:.2f} | {g:.2f} | — | **FAIL** |")
             continue
