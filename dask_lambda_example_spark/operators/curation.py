@@ -334,6 +334,136 @@ def mix_domain_dosage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temperature-based mixture sampling (weights FROM the data)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # p_i ∝ n_i^alpha — alpha<1 flattens toward uniform
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 pow(n_tokens, {MIX_ALPHA}) AS wgt,
+                 sum(pow(n_tokens, {MIX_ALPHA})) OVER () AS denom,
+                 sum(n_tokens) OVER () AS total
+          FROM g)
+    SELECT source, n_tokens,
+           round(n_tokens * 1.0 / total, 6) AS p_raw,
+           round(wgt / denom, 6) AS p_sample,
+           round((wgt / denom) * {TOKEN_BUDGET} / n_tokens, 6) AS epochs,
+           (wgt / denom) * {TOKEN_BUDGET} / n_tokens > 1.0 AS upsampled
+    FROM w
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/UniMax multilingual
+    recipe): instead of hand-set weights (``mix_domain_dosage``), the
+    sampling probability is DERIVED from the corpus — ``p_i ∝
+    n_i^alpha`` with alpha={a} flattens the token distribution toward
+    uniform, boosting low-resource sources without drowning the head.
+    Output per source: raw share, tempered share, and the epoch/repeat
+    factor a dataloader needs to realize the mix for the token budget.
+
+    Scale: one source-keyed aggregation reduces the corpus to a
+    |sources|-row frame; the normalizing denominator is an unbounded
+    window over THAT tiny frame (never over the corpus), so the whole
+    query is one shuffle plus per-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    g = (
+        d.select("source",
+                 F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    wgt = F.pow(F.col("n_tokens"), MIX_ALPHA)
+    g = g.select(
+        "source", "n_tokens", wgt.alias("wgt"),
+        F.sum(wgt).over(w_all).alias("denom"),
+        F.sum("n_tokens").over(w_all).alias("total"))
+    p_sample = F.col("wgt") / F.col("denom")
+    epochs = p_sample * TOKEN_BUDGET / F.col("n_tokens")
+    return g.select(
+        "source", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("p_raw"),
+        F.round(p_sample, 6).alias("p_sample"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 1.0).alias("upsampled"))
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching (padding-waste planning)
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_QS = (0.25, 0.5, 0.75)
+
+
+@query(
+    "curation_length_buckets",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+    th AS (SELECT quantile_cont(n_tokens, {LEN_BUCKET_QS[0]}) AS t1,
+                  quantile_cont(n_tokens, {LEN_BUCKET_QS[1]}) AS t2,
+                  quantile_cont(n_tokens, {LEN_BUCKET_QS[2]}) AS t3
+           FROM dl),
+    b AS (SELECT dl.doc_id, dl.n_tokens,
+                 CASE WHEN dl.n_tokens <= th.t1 THEN 0
+                      WHEN dl.n_tokens <= th.t2 THEN 1
+                      WHEN dl.n_tokens <= th.t3 THEN 2
+                      ELSE 3 END AS bucket
+          FROM dl CROSS JOIN th)
+    SELECT bucket, count(*) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1 - sum(n_tokens) * 1.0 / (count(*) * max(n_tokens)), 6)
+             AS padding_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: group documents into token-length
+    quartiles and report each bucket's padding waste (1 − Σlen / (n ·
+    max_len)) — the fraction of a padded batch spent on pad tokens if
+    batches are drawn within the bucket. This is the pre-flight table
+    for length-grouped batch samplers; the quartile design keeps
+    per-bucket waste far below the unbucketed corpus-wide figure.
+
+    Scale shape (same discipline as ``ml_quantile_binning``): exact
+    thresholds come from ONE percentile aggregation, broadcast back,
+    and bucketing is a projection — never an ntile window sorting the
+    whole corpus. One further grouped aggregation (4 groups, map-side
+    combined) yields the plan."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    th = dl.agg(*[
+        F.percentile("n_tokens", F.lit(q)).alias(f"t{i + 1}")
+        for i, q in enumerate(LEN_BUCKET_QS)
+    ])
+    bucket = (F.when(F.col("n_tokens") <= F.col("t1"), 0)
+              .when(F.col("n_tokens") <= F.col("t2"), 1)
+              .when(F.col("n_tokens") <= F.col("t3"), 2)
+              .otherwise(3))
+    return (
+        dl.crossJoin(F.broadcast(th))
+        .select("n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.max("n_tokens").cast("bigint").alias("max_len"),
+             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+             F.round(1 - F.sum("n_tokens")
+                     / (F.count("*") * F.max("n_tokens")), 6)
+             .alias("padding_frac"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation funnel (composed from the registered operators)
 # ---------------------------------------------------------------------------
 

@@ -67,10 +67,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per iteration: contributions = rank/outdeg join on the edge
     source (rank and degree vectors are |nodes|-sized → broadcast),
     then one shuffle grouping contributions by destination. The edge
-    list is the only large operand and it is scanned, never mutated —
-    at 100 TB you'd pre-partition it by ``dst`` once so every
-    iteration's aggregation is co-located. Fixed iterations + REAL
-    cast make the float fixed-point oracle-checkable bit-for-bit."""
+    list is the only large operand and it is scanned, never mutated.
+    This broadcast formulation is the small-graph fast path; when the
+    node set outgrows broadcast, ``graph_pagerank_copartitioned``
+    (below) runs the identical recurrence with the edges
+    pre-partitioned by ``src`` and nothing broadcast — ``pagerank_auto``
+    dispatches between them from catalog metadata. Fixed iterations +
+    REAL cast make the float fixed-point oracle-checkable
+    bit-for-bit."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (

@@ -343,6 +343,106 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "merge", "vector")  # pinned query terms
+BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    per_term = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN contrib END) AS c_{i}"
+        for i, t in enumerate(BM25_QUERY))
+    score = " + ".join(
+        f"coalesce(c_{i}, 0)" for i in range(len(BM25_QUERY)))
+    return f"""
+    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+    qtok AS (SELECT doc_id, term FROM tok WHERE term IN ({terms})),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtok
+           GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS contrib
+        FROM tf JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+    per_doc AS (SELECT doc_id, {per_term} FROM scored GROUP BY doc_id)
+    SELECT doc_id, round({score}, 6) AS bm25
+    FROM per_doc
+    ORDER BY round({score}, 6) DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+@query("text_bm25_ranked", oracle=_bm25_oracle())
+def text_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1={k1}, b={b}) for a pinned query
+    — the lexical-retrieval half of a RAG corpus build. The plan is the
+    inverted-index shape that survives any corpus size: the token
+    stream is filtered to the query terms IMMEDIATELY after explode (so
+    the (doc, term) shuffle carries only matching postings), document
+    frequency is a |query|-row broadcast, document length and corpus
+    stats are one broadcast aggregate, and the top-k is TakeOrdered —
+    no global sort, no window over the corpus.
+
+    Float discipline: the per-doc score sums one contribution per query
+    term in FIXED textual order (conditional aggregates recombined with
+    explicit ``+``), not an arbitrary-order SUM — bit-stable against
+    the oracle's identical recombination."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qtok = (
+        d.select("doc_id",
+                 F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+    )
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1
+           * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(f"c_{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ])
+    score = None
+    for i in range(len(BM25_QUERY)):
+        part = F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+text_bm25_ranked.__doc__ = text_bm25_ranked.__doc__.format(
+    k1=BM25_K1, b=BM25_B)
+
+
+# ---------------------------------------------------------------------------
 # corpus term frequency
 # ---------------------------------------------------------------------------
 

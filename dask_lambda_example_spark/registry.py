@@ -104,6 +104,8 @@ PRIORITY_QUERIES = (
     "stream_session_window", "stream_static_join",
     # round-5 new / materially changed (REVERIFY)
     "graph_pagerank_copartitioned", "dedup_semdedup_cells",
+    "text_bm25_ranked", "mix_temperature_sampling",
+    "curation_length_buckets",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
