@@ -721,8 +721,9 @@ def test_adversarial_corpus_stop_shingle_cap_bounds_pairs(
     # pairs); WITH the cap the viral shingles are anti-joined out before
     # expansion, the empty and mega docs pass through harmlessly, and a
     # genuinely rare near-dup pair is still found.
-    from dask_lambda_example_spark.registry import QUERIES
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
 
+    _ensure_loaded()
     sf = str(tmp_path)
     _write_adversarial_docs(spark, sf)
 
@@ -754,8 +755,9 @@ def test_semdedup_adaptive_cells_schema_invariant_and_bounded(
 
     from dask_lambda_example_spark.operators.dedup import (
         SEM_CELL_N_THRESHOLD, adaptive_extra_bits)
-    from dask_lambda_example_spark.registry import QUERIES
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
 
+    _ensure_loaded()
     rng = random.Random(7)
 
     def corpus(path, n):
@@ -793,6 +795,35 @@ def test_semdedup_adaptive_cells_schema_invariant_and_bounded(
     exp_cell = n / (1 << sub_bits)
     assert max(members.values()) <= exp_cell * (exp_cell - 1) / 2, (
         "one refined cell holds more pairs than its expected size bound")
+
+
+def test_empty_corpus_is_survivable(spark, tmp_path):
+    # degenerate-input hardening: a partition of a 100 TB corpus can be
+    # legitimately empty (a new source, an over-selective filter). Every
+    # representative corpus operator must plan and execute over 0-row
+    # documents/embeddings tables without raising — including the
+    # adaptive paths whose sizing knobs divide by corpus statistics.
+    (spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+     .write.parquet(f"{tmp_path}/documents.parquet"))
+    (spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+     .write.parquet(f"{tmp_path}/embeddings.parquet"))
+
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    names = [
+        "dedup_exact_hash", "dedup_jaccard_pairs", "dedup_minhash_lsh_pairs",
+        "dedup_simhash", "dedup_semdedup_cells", "dedup_embedding_neardup",
+        "text_bm25_ranked", "text_tfidf_top_terms", "text_token_stats",
+        "curation_length_buckets", "mix_temperature_sampling",
+        "pack_sequences", "sim_cosine_topk_bruteforce",
+    ]
+    for name in names:
+        df = QUERIES[name].fn(spark, str(tmp_path))
+        assert df.collect() == [], name
+        assert len(df.schema) > 0, name
 
 
 def test_sf01_sits_below_adaptive_thresholds():
