@@ -119,8 +119,10 @@ def win_rank_distributed_twophase(spark: SparkSession, sf_dir: str) -> DataFrame
     Cardinality contract: the ORDER-key domain per group must be small
     enough to broadcast (here l_quantity has ≤50 distinct values);
     that's exactly the regime where the naive window's 3-partition sort
-    hurts most. ntile is intentionally absent — it is position-based,
-    not value-based, so it does not distribute this way."""
+    hurts most. ntile is absent HERE — it is position-based, not
+    value-based, so it does not distribute over the histogram; its
+    scale-safe formulation is ``win_ntile_distributed`` (range shuffle
+    + per-bucket rank offsets + arithmetic assignment)."""
     li = load_table(spark, sf_dir, "lineitem")
 
     hist = li.groupBy("l_returnflag", "l_quantity").agg(
@@ -144,6 +146,74 @@ def win_rank_distributed_twophase(spark: SparkSession, sf_dir: str) -> DataFrame
         li.join(F.broadcast(ranked), ["l_returnflag", "l_quantity"])
         .select("l_orderkey", "l_linenumber", "rnk", "drnk", "prank", "cdist")
     )
+
+
+NTILE_K = 4
+_NTILE_ORDER = ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice")
+
+
+@query(
+    "win_ntile_distributed",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ntile({NTILE_K}) OVER (ORDER BY {", ".join(_NTILE_ORDER)})
+             AS quartile
+    FROM lineitem
+    """,
+)
+def win_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL ntile without a global sort — closing the one gap
+    ``win_rank_distributed_twophase`` documents: ntile is position-based,
+    so the histogram trick doesn't apply; the distributed-selection
+    machinery of ``agg_percentile_exact_distributed`` does.
+
+    An un-partitioned ``ntile() OVER (ORDER BY …)`` is the worst window
+    in the catalog at 100 TB — Spark moves the ENTIRE table through one
+    task. This variant computes the identical assignment with every
+    task at O(n/P):
+
+    1. ``repartitionByRange(P, keys)`` — one range shuffle; bucket i
+       holds a contiguous slice of the total order.
+    2. per-bucket counts → prefix-sum offsets (a P-row frame,
+       broadcast back; no driver collect).
+    3. local ``row_number`` within each bucket + offset = exact global
+       position, P-way parallel.
+    4. ntile is then ARITHMETIC on (position, n): the first n mod k
+       buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer ceil-division
+       cases, a projection.
+
+    The range exchange feeds the count and rank branches once
+    (ReuseExchange); the ordering key is a total order so assignment is
+    deterministic and the DuckDB oracle's native ``ntile`` must agree
+    row-for-row."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_NTILE_ORDER)
+    n_buckets = spark.sparkContext.defaultParallelism
+    ranged = (li.repartitionByRange(n_buckets, *[F.col(c) for c in _NTILE_ORDER])
+              .withColumn("pid", F.spark_partition_id()))
+
+    pc = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = pc.select(
+        "pid",
+        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"))
+
+    w_local = W.partitionBy("pid").orderBy(*_NTILE_ORDER)
+    pos = (F.row_number().over(w_local) + F.col("off")).cast("bigint")  # 1-based
+    k = F.lit(NTILE_K).cast("bigint")
+    base = (F.col("n") / k).cast("bigint")          # floor(n/k)
+    rem = F.col("n") % k                             # first rem buckets +1
+    big_span = rem * (base + 1)                      # rows in the big buckets
+    ceil_div = lambda a, b: ((a + b - 1) / b).cast("bigint")  # noqa: E731
+    quartile = (
+        F.when(F.col("n") < k, pos)                  # degenerate: row per tile
+        .when(pos <= big_span, ceil_div(pos, base + 1))
+        .otherwise(rem + ceil_div(pos - big_span, base))
+    )
+    return (ranged.join(F.broadcast(offsets), "pid")
+            .select("l_orderkey", "l_linenumber",
+                    quartile.cast("int").alias("quartile")))
 
 
 @query(

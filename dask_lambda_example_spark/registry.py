@@ -105,7 +105,7 @@ PRIORITY_QUERIES = (
     # round-5 new / materially changed (REVERIFY)
     "graph_pagerank_copartitioned", "dedup_semdedup_cells",
     "text_bm25_ranked", "mix_temperature_sampling",
-    "curation_length_buckets",
+    "curation_length_buckets", "win_ntile_distributed",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to

@@ -239,6 +239,41 @@ def test_pagerank_auto_dispatches_on_metadata(spark, sf_dir):
         pagerank_auto(spark, sf_dir, max_broadcast_nodes=0))
 
 
+def test_distributed_ntile_avoids_global_sort(spark, sf_dir):
+    # the global-ntile reformulation must contain NO native ntile window
+    # (that would be a single-task sort of the whole table) — only a
+    # range exchange plus pid-partitioned local windows, with the
+    # assignment as arithmetic
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["win_ntile_distributed"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan
+    assert "ntile(" not in plan
+    # the only single-partition exchange feeds the tiny P-row offsets
+    # frame, never the fact stream
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_distributed_ntile_matches_native_window(spark, sf_dir):
+    # semantics equivalence against Spark's own ntile on the same total
+    # order (the oracle checks against DuckDB; this pins Spark-vs-Spark)
+    from pyspark.sql import Window
+
+    from dask_lambda_example_spark.io import load_table
+    from dask_lambda_example_spark.operators.windows import (
+        NTILE_K, _NTILE_ORDER)
+
+    got = {tuple(r) for r in
+           QUERIES["win_ntile_distributed"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(*_NTILE_ORDER)
+    exp = {tuple(r) for r in li.select(
+        "l_orderkey", "l_linenumber",
+        F.ntile(NTILE_K).over(w).alias("quartile")).collect()}
+    assert got == exp
+
+
 def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
     # the fact scan's partition filters must carry a runtime
     # dynamicpruning expression fed by the dim side
