@@ -201,19 +201,30 @@ def win_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_local = W.partitionBy("pid").orderBy(*_NTILE_ORDER)
     pos = (F.row_number().over(w_local) + F.col("off")).cast("bigint")  # 1-based
-    k = F.lit(NTILE_K).cast("bigint")
-    base = (F.col("n") / k).cast("bigint")          # floor(n/k)
-    rem = F.col("n") % k                             # first rem buckets +1
-    big_span = rem * (base + 1)                      # rows in the big buckets
-    ceil_div = lambda a, b: ((a + b - 1) / b).cast("bigint")  # noqa: E731
-    quartile = (
-        F.when(F.col("n") < k, pos)                  # degenerate: row per tile
-        .when(pos <= big_span, ceil_div(pos, base + 1))
-        .otherwise(rem + ceil_div(pos - big_span, base))
-    )
     return (ranged.join(F.broadcast(offsets), "pid")
             .select("l_orderkey", "l_linenumber",
-                    quartile.cast("int").alias("quartile")))
+                    ntile_from_position(pos, F.col("n"), NTILE_K)
+                    .alias("quartile")))
+
+
+def ntile_from_position(pos, n, k: int):
+    """SQL-standard ntile as arithmetic on (1-based global position,
+    total row count): the first ``n mod k`` tiles take ⌈n/k⌉ rows, the
+    rest ⌊n/k⌋. Exhaustively tested against Spark's native ntile in
+    ``tests/test_units.py::test_ntile_arithmetic_exhaustive``."""
+    kc = F.lit(k).cast("bigint")
+    base = (n / kc).cast("bigint")                   # floor(n/k)
+    rem = n % kc                                     # first rem tiles +1
+    big_span = rem * (base + 1)                      # rows in the big tiles
+
+    def ceil_div(a, b):
+        return ((a + b - 1) / b).cast("bigint")
+
+    return (
+        F.when(n < kc, pos)                          # degenerate: row per tile
+        .when(pos <= big_span, ceil_div(pos, base + 1))
+        .otherwise(rem + ceil_div(pos - big_span, base))
+    ).cast("int")
 
 
 @query(

@@ -797,6 +797,30 @@ def test_semdedup_adaptive_cells_schema_invariant_and_bounded(
         "one refined cell holds more pairs than its expected size bound")
 
 
+def test_ntile_arithmetic_exhaustive(spark):
+    # the distributed-ntile formula must equal Spark's native ntile for
+    # EVERY (n, k, position) — checked exhaustively for n in 1..60 and
+    # k in 1..8 (4680 positions per k) in ONE Spark job per side, not
+    # per-example: build all (n, pos) rows, apply the arithmetic, and
+    # compare against native ntile computed per n-group.
+    from pyspark.sql import Window
+
+    from dask_lambda_example_spark.operators.windows import (
+        ntile_from_position)
+
+    rows = [(n, p) for n in range(1, 61) for p in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, pos long")
+    for k in (1, 2, 3, 4, 5, 7, 8):
+        got = {(r.n, r.pos): r.t for r in df.select(
+            "n", "pos",
+            ntile_from_position(F.col("pos"), F.col("n"), k).alias("t")
+        ).collect()}
+        w = Window.partitionBy("n").orderBy("pos")
+        exp = {(r.n, r.pos): r.t for r in df.withColumn(
+            "t", F.ntile(k).over(w)).collect()}
+        assert got == exp, f"k={k}"
+
+
 def test_empty_corpus_is_survivable(spark, tmp_path):
     # degenerate-input hardening: a partition of a 100 TB corpus can be
     # legitimately empty (a new source, an over-selective filter). Every
