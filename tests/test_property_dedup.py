@@ -44,6 +44,61 @@ def _reference_pairs(corpus: list[list[str]]) -> dict[tuple[int, int], float]:
     return out
 
 
+def _hex32(token: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16)
+
+
+def _reference_minhash_pairs(
+        corpus: list[list[str]]) -> dict[tuple[int, int], float]:
+    """Pure-Python replica of the FULL minhash→band→verify pipeline
+    (16 universal hashes from two md5-derived values, 8 bands of 2) —
+    including LSH's false negatives, which are part of the contract."""
+    sh = {i: _shingles(toks) for i, toks in enumerate(corpus)}
+    sigs = {}
+    for i, s in sh.items():
+        if not s:
+            continue
+        hs = [(_hex32(t), _hex32(t + "#")) for t in s]
+        sigs[i] = [min((h1 + j * h2) % 4_294_967_296 for h1, h2 in hs)
+                   for j in range(16)]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(8):
+            buckets.setdefault(
+                (b, f"{sig[2 * b]}|{sig[2 * b + 1]}"), []).append(i)
+    cands = {tuple(sorted((x, y)))
+             for ids in buckets.values() if len(ids) > 1
+             for xi, x in enumerate(ids) for y in ids[xi + 1:]}
+    out = {}
+    for a, b in sorted(cands):
+        jac = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if jac >= JACCARD_THRESHOLD:
+            out[(a, b)] = round(jac, 6)
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_corpus)
+def test_minhash_lsh_pairs_match_reference(spark, corpus):
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    sf = tempfile.mkdtemp(prefix="mhprop_")
+    rows = [(i, " ".join(toks), "en", "prop", len(" ".join(toks)))
+            for i, toks in enumerate(corpus)]
+    (spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           QUERIES["dedup_minhash_lsh_pairs"].fn(spark, sf).collect()}
+    assert got == _reference_minhash_pairs(corpus)
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=_corpus)
