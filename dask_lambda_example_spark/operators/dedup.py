@@ -914,7 +914,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEM_THRESHOLD = 0.35
-SEM_CELL_N_THRESHOLD = 512  # per-cell size above which cells subdivide
+# Per-cell size above which cells subdivide. 256 keeps refinement a
+# no-op through sf0.1 (average cell there is 200 — margin pinned by
+# test_sf01_sits_below_adaptive_thresholds) while targeting ~2x finer
+# cells at sf1 than the original 512: pair work per vector is
+# proportional to the target, and the r5 battery's worst growth entry
+# (10.3x at 512) was exactly this query's in-cell pair join.
+SEM_CELL_N_THRESHOLD = 256
 
 
 @query(
