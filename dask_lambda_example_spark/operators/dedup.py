@@ -211,6 +211,66 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incoming shard = the 'code' sources (src15+); everything else is the
+# already-ingested corpus the shard dedups against.
+INCR_INCOMING_MIN_SRC = 15
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, md5(text) AS content_hash,
+                      CAST(substr(source, 4) AS INT) >= {INCR_INCOMING_MIN_SRC}
+                        AS is_incoming
+               FROM documents),
+    existing AS (SELECT DISTINCT content_hash FROM h WHERE NOT is_incoming),
+    incoming AS (
+        SELECT doc_id, content_hash,
+               min(doc_id) OVER (PARTITION BY content_hash) AS first_id
+        FROM h WHERE is_incoming)
+    SELECT i.doc_id, i.content_hash,
+           (e.content_hash IS NOT NULL) AS dup_of_existing,
+           (i.doc_id > i.first_id) AS dup_within_batch,
+           (e.content_hash IS NULL AND i.doc_id = i.first_id) AS keep
+    FROM incoming i LEFT JOIN existing e USING (content_hash)
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape a DAILY pipeline actually
+    runs: a new shard is deduplicated against the already-ingested
+    corpus WITHOUT re-comparing the corpus to itself. Each incoming doc
+    gets three verdicts: duplicate of an existing doc, duplicate of an
+    earlier doc in the same batch (lowest doc_id survives), or keep.
+
+    Scale posture: the existing corpus contributes only its DISTINCT
+    16-byte content hashes (in production that hash index is maintained
+    incrementally — here derived in-query from the same table); the
+    join and the within-batch window both key on the uniform hash, so
+    work is O(|batch| + |existing hashes|) with no skew and the
+    document bytes never shuffle. Compare ``cdc_snapshot_diff``: same
+    incremental-beats-recompute discipline applied to dedup."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    srcnum = F.substring(F.col("source"), 4, 10).cast("int")
+    h = d.select(
+        "doc_id", F.md5("text").alias("content_hash"),
+        (srcnum >= INCR_INCOMING_MIN_SRC).alias("is_incoming"))
+    existing = (h.filter(~F.col("is_incoming"))
+                .select("content_hash").distinct()
+                .withColumn("seen", F.lit(True)))
+    w = Window.partitionBy("content_hash")
+    incoming = (h.filter(F.col("is_incoming"))
+                .withColumn("first_id", F.min("doc_id").over(w)))
+    return (
+        incoming.join(existing, "content_hash", "left")
+        .select(
+            "doc_id", "content_hash",
+            F.coalesce(F.col("seen"), F.lit(False)).alias("dup_of_existing"),
+            (F.col("doc_id") > F.col("first_id")).alias("dup_within_batch"),
+            (F.col("seen").isNull()
+             & (F.col("doc_id") == F.col("first_id"))).alias("keep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted-index join, exact)
 # ---------------------------------------------------------------------------

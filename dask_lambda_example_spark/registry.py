@@ -72,10 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # drains the backlog to zero — then the names added or materially
 # changed in round 5 (the co-partitioned PageRank variant; BM25;
 # temperature mixture; length buckets; distributed ntile; the ANN
-# recall audit; and the SemDeDup query whose `cell` column became
-# schema-invariant string, ADVICE r4). That fills 41 of the 50 slots;
-# the surplus automatically re-samples the stalest-verified names
-# (regression detection, ADVICE r3).
+# recall audit; incremental ingest dedup; and the SemDeDup query whose
+# `cell` column became schema-invariant string, ADVICE r4). That fills
+# 42 of the 50 slots; the surplus automatically re-samples the
+# stalest-verified names (regression detection, ADVICE r3).
 # tests/test_units.py::test_registry_priority_rotation enforces the
 # window invariants.
 PRIORITY_QUERIES = (
@@ -108,7 +108,7 @@ PRIORITY_QUERIES = (
     "graph_pagerank_copartitioned", "dedup_semdedup_cells",
     "text_bm25_ranked", "mix_temperature_sampling",
     "curation_length_buckets", "win_ntile_distributed",
-    "sim_ann_recall_report",
+    "sim_ann_recall_report", "dedup_incremental_ingest",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to

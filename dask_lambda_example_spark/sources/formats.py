@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from dask_lambda_example_spark.io import load_table
 from dask_lambda_example_spark.registry import query
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats")
+# Per-process scratch (same isolation _jdbc_opts already has): format
+# queries overwrite-and-read-back fixed directory names, so two
+# concurrent processes sharing one scratch root race between one
+# process's overwrite and the other's read-back — observed as a flaky
+# fmt_compaction_small_files when pytest and a parity sweep overlap.
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats",
+                        f"pid_{os.getpid()}")
 
 
 def _dir(name: str) -> str:
