@@ -464,6 +464,82 @@ def curation_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# budgeted quality selection (ordered-prefix cut, distributed)
+# ---------------------------------------------------------------------------
+
+SELECT_TOKEN_BUDGET = 10_000  # absolute token budget for the selection
+
+
+@query(
+    "curation_quality_budget_select",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS score
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, score,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+               AS cum_tokens
+      FROM dl)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(score, 6) AS quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {SELECT_TOKEN_BUDGET}
+    """,
+)
+def curation_quality_budget_select(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Budgeted quality selection — "take the best documents until the
+    token budget is spent", the cut every curated-training-mix release
+    makes. Documents are ordered by a quality score (lexical diversity
+    here; any scorer slots in) and the ordered PREFIX whose cumulative
+    token count fits ``SELECT_TOKEN_BUDGET`` is kept.
+
+    The naive form is a global ``sum() OVER (ORDER BY score)`` — one
+    task sorts the corpus. This is the third use of the
+    distributed-selection shape (``agg_percentile_exact_distributed``,
+    ``win_ntile_distributed``): ``repartitionByRange`` on (score DESC,
+    doc_id) gives contiguous score slices; per-bucket token totals
+    prefix-sum into bucket offsets (a P-row broadcast frame); the
+    running sum inside each bucket is a local window — every task
+    O(n/P), and at 100 TB the budget cut touches only the buckets the
+    prefix reaches (later buckets filter out wholesale on
+    ``offset > budget``)."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split(F.col("text"), " ")
+    dl = d.select(
+        "doc_id", F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"))
+    n_buckets = spark.sparkContext.defaultParallelism
+    ranged = (dl.repartitionByRange(
+        n_buckets, F.col("score").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id()))
+
+    pc = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("tok"))
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = pc.select(
+        "pid", (F.sum("tok").over(w_off) - F.col("tok")).alias("off"))
+
+    w_local = (Window.partitionBy("pid")
+               .orderBy(F.col("score").desc(), F.col("doc_id"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        # whole later buckets are prunable before any local window work
+        .filter(F.col("off") <= SELECT_TOKEN_BUDGET)
+        .withColumn("cum_tokens",
+                    (F.sum("n_tokens").over(w_local) + F.col("off"))
+                    .cast("bigint"))
+        .filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.round("score", 6).alias("quality"), "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation funnel (composed from the registered operators)
 # ---------------------------------------------------------------------------
 

@@ -72,10 +72,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # drains the backlog to zero — then the names added or materially
 # changed in round 5 (the co-partitioned PageRank variant; BM25;
 # temperature mixture; length buckets; distributed ntile; the ANN
-# recall audit; incremental ingest dedup; and the SemDeDup query whose
-# `cell` column became schema-invariant string, ADVICE r4). That fills
-# 42 of the 50 slots; the surplus automatically re-samples the
-# stalest-verified names (regression detection, ADVICE r3).
+# recall audit; incremental ingest dedup; budgeted quality selection;
+# and the SemDeDup query whose `cell` column became schema-invariant
+# string, ADVICE r4). That fills 43 of the 50 slots; the surplus
+# automatically re-samples the stalest-verified names (regression
+# detection, ADVICE r3).
 # tests/test_units.py::test_registry_priority_rotation enforces the
 # window invariants.
 PRIORITY_QUERIES = (
@@ -109,6 +110,7 @@ PRIORITY_QUERIES = (
     "text_bm25_ranked", "mix_temperature_sampling",
     "curation_length_buckets", "win_ntile_distributed",
     "sim_ann_recall_report", "dedup_incremental_ingest",
+    "curation_quality_budget_select",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to

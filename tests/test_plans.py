@@ -274,6 +274,18 @@ def test_distributed_ntile_matches_native_window(spark, sf_dir):
     assert got == exp
 
 
+def test_budget_select_avoids_global_ordered_window(spark, sf_dir):
+    # the ordered-prefix cut must be the distributed-selection plan:
+    # a range exchange, pid-partitioned local running sums, and a
+    # single-partition exchange only for the P-row offsets frame
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["curation_quality_budget_select"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
     # the fact scan's partition filters must carry a runtime
     # dynamicpruning expression fed by the dim side
