@@ -99,6 +99,42 @@ def test_minhash_lsh_pairs_match_reference(spark, corpus):
     assert got == _reference_minhash_pairs(corpus)
 
 
+def _reference_simhash(tokens: list[str]) -> int:
+    """Pure-Python replica of dedup_simhash: DISTINCT unigrams vote ±1
+    per bit of their 32-bit md5-derived hash; bit set iff the vote sum
+    is STRICTLY positive (ties → 0, the documented convention)."""
+    votes = [0] * 32
+    for t in set(tokens):
+        h = _hex32(t)
+        for i in range(32):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(32) if votes[i] > 0)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_corpus)
+def test_simhash_matches_reference(spark, corpus):
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    sf = tempfile.mkdtemp(prefix="shprop_")
+    rows = [(i, " ".join(toks), "en", "prop", len(" ".join(toks)))
+            for i, toks in enumerate(corpus)]
+    (spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet"))
+
+    got = {r.doc_id: r.simhash for r in
+           QUERIES["dedup_simhash"].fn(spark, sf).collect()}
+    # the query tokenizes the JOINED text, so the reference must split
+    # identically (an empty doc becomes the single empty-string token)
+    exp = {i: _reference_simhash(" ".join(toks).split(" "))
+           for i, toks in enumerate(corpus)}
+    assert got == exp
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=_corpus)
