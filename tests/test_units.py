@@ -843,6 +843,8 @@ def test_empty_corpus_is_survivable(spark, tmp_path):
         "text_bm25_ranked", "text_tfidf_top_terms", "text_token_stats",
         "curation_length_buckets", "mix_temperature_sampling",
         "pack_sequences", "sim_cosine_topk_bruteforce",
+        "curation_quality_budget_select", "dedup_incremental_ingest",
+        "sim_ann_recall_report",
     ]
     for name in names:
         df = QUERIES[name].fn(spark, str(tmp_path))
