@@ -107,6 +107,11 @@ def main() -> None:
         "unit": "sec",
         "sink": sink,
         "queries": times,
+        # duplicated AFTER the (large) queries object: driver artifacts
+        # keep only the tail of this line, and the sink mode must
+        # survive that truncation for the bench regression gate to
+        # compare like with like (ADVICE r5)
+        "sink_mode": sink,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
         "failed": sorted(n for n, t in times.items() if t < 0),

@@ -126,9 +126,16 @@ def parquet_rowcount(sf_dir: str, name: str) -> int:
     p = pathlib.Path(sf_dir) / f"{name}.parquet"
     if p.is_file():
         return pq.ParquetFile(p).metadata.num_rows
-    # directory-of-parts layout (partitioned writes)
-    return sum(pq.ParquetFile(f).metadata.num_rows
-               for f in sorted(p.rglob("*.parquet")))
+    # directory-of-parts layout (partitioned writes). A missing path or
+    # an empty directory must FAIL here, not return 0: callers size
+    # adaptive knobs (blocking bits, broadcast-vs-shuffle dispatch) from
+    # this number, and a typo'd table name silently picking the
+    # small-scale configuration is the worst failure mode (ADVICE r5).
+    parts = sorted(p.rglob("*.parquet")) if p.is_dir() else []
+    if not parts:
+        raise FileNotFoundError(
+            f"no parquet data for table {name!r} under {sf_dir!r}")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
 
 
 def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
@@ -146,7 +153,11 @@ def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
     import pyarrow.parquet as pq
 
     p = pathlib.Path(sf_dir) / f"{name}.parquet"
-    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    files = ([p] if p.is_file()
+             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
+    if not files:  # same contract as parquet_rowcount (ADVICE r5)
+        raise FileNotFoundError(
+            f"no parquet data for table {name!r} under {sf_dir!r}")
     seen: set = set()
     for f in files:
         col = pq.read_table(f, columns=[column])[column]

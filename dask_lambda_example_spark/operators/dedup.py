@@ -1038,9 +1038,16 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("emb"))
     # concat_ws in BOTH branches (with a single operand it is the
     # identity) so the cell id's type AND nullability are identical
-    # whether or not refinement engaged — size-invariant schema
+    # whether or not refinement engaged — size-invariant schema.
+    # NULL-faithful: concat_ws SKIPS nulls (a NULL label would silently
+    # become cell ''), but the oracle's CAST(label AS VARCHAR) keeps
+    # NULL — guard so a null label stays null on both sides and (like
+    # SQL equality) never joins into any cell (ADVICE r5).
     refine = [sign_lsh_bucket(F.col("emb"), sub_bits)] if sub_bits else []
-    e = e.withColumn("label", F.concat_ws("#", F.col("label"), *refine))
+    e = e.withColumn(
+        "label",
+        F.when(F.col("label").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("#", F.col("label"), *refine)))
     e = e.withColumn("nrm", l2norm(F.col("emb")))
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_pair(F.col("a.emb"), F.col("b.emb"),

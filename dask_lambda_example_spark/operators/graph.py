@@ -140,7 +140,17 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution shuffle — never O(|edges|) and never a broadcast.
     ``pagerank_auto`` dispatches between the two formulations from
     catalog metadata (footer row counts — no job) under
-    ``PR_BROADCAST_MAX_NODES``."""
+    ``PR_BROADCAST_MAX_NODES``.
+
+    Session hygiene (ADVICE r5): the whole query runs on a dedicated
+    ``spark.newSession()`` child (same SparkContext, ISOLATED SQLConf),
+    so disabling AQE for the checkpoint build cannot de-optimize a
+    query planned concurrently on the caller's session. The
+    checkpointed edge blocks are reclaimed by ContextCleaner once the
+    returned DataFrame (the only plan referencing them) is collected
+    and released — session.py pins ``spark.cleaner.periodicGC.interval``
+    to 5 min so reclamation is bounded, not session-lifetime."""
+    spark = spark.newSession()
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (

@@ -38,6 +38,20 @@ from dask_lambda_example_spark.registry import query
 _SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats",
                         f"pid_{os.getpid()}")
 
+# Per-PID scratch must not accumulate across runs (ADVICE r5): remove
+# this process's root at interpreter exit. ignore_errors — a vanished
+# tmpdir or a file still held by the JVM child is not worth a traceback
+# during shutdown, and the OS unlinks open files fine on Linux.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+atexit.register(
+    shutil.rmtree,
+    os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
+                 f"pid_{os.getpid()}"),
+    ignore_errors=True)
+
 
 def _dir(name: str) -> str:
     return os.path.join(_SCRATCH, name)

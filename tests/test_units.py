@@ -605,14 +605,18 @@ def test_bench_regression_gate():
         # the driver artifact keeps only the TAIL of the bench JSON line
         # (front-truncated), so recover per-query times by scanning
         # "name": seconds pairs inside the queries object — everything
-        # before the closing `}, "sf":` belongs to it. Also recover the
-        # bench sink mode when the artifact retains it ("sink" precedes
-        # "queries", so a truncated tail usually loses it → None).
+        # before the closing `}, "sink_mode":` / `}, "sf":` belongs to
+        # it. Sink mode: bench.py ≥r6 duplicates it AFTER the queries
+        # object ("sink_mode") precisely so truncation can't eat it
+        # (ADVICE r5); fall back to the pre-queries "sink" key for runs
+        # that kept the whole line.
         doc = json.loads(art.read_text())
         if isinstance(doc.get("parsed"), dict):
-            return doc["parsed"].get("sink"), doc["parsed"]["queries"]
-        sink_m = re.search(r'"sink":\s*\\?"(\w+)', doc["tail"])
-        tail = doc["tail"].split('}, "sf":')[0]
+            p = doc["parsed"]
+            return p.get("sink_mode", p.get("sink")), p["queries"]
+        sink_m = (re.search(r'"sink_mode":\s*\\?"(\w+)', doc["tail"])
+                  or re.search(r'"sink":\s*\\?"(\w+)', doc["tail"]))
+        tail = re.split(r'}, "(?:sink_mode|sf)":', doc["tail"])[0]
         return (sink_m.group(1) if sink_m else None,
                 {m.group(1): float(m.group(2)) for m in re.finditer(
                     r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)})
@@ -621,10 +625,16 @@ def test_bench_regression_gate():
     prev_sink, prev = timings(prev_art)
     cur_sink, cur = timings(cur_art)
     # collect-sink vs noop-sink rounds are not comparable: a sink switch
-    # would read as a spurious >3x "regression" (or mask a real one) —
-    # only gate when both artifacts ran the same sink (ADVICE r4;
-    # unknown sink ≈ the driver's default collect)
-    if (prev_sink or "collect") != (cur_sink or "collect"):
+    # would read as a spurious >3x "regression" (or mask a real one).
+    # Pre-r6 driver artifacts lost the sink field to tail truncation;
+    # both-unknown pairs are driver runs of the SAME harness (the driver
+    # never sets the sink env), so they remain comparable — but when
+    # exactly one side is unrecoverable, skip rather than guess
+    # (ADVICE r5: defaulting to collect re-admitted the spurious delta).
+    if (prev_sink is None) != (cur_sink is None):
+        pytest.skip(f"sink mode unrecoverable for one artifact: "
+                    f"{prev_art.name}={prev_sink!r} {cur_art.name}={cur_sink!r}")
+    if prev_sink != cur_sink:
         pytest.skip(f"sink mismatch: {prev_sink!r} vs {cur_sink!r}")
     # sub-second timings are dominated by per-query fixed cost (session
     # scheduling, streaming micro-batch startup); only flag regressions
