@@ -65,7 +65,13 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking family on a tie-heavy key (rank vs dense_rank vs ntile
-    vs percent_rank/cume_dist) — Spark superset over dask."""
+    vs percent_rank/cume_dist) — Spark superset over dask.
+
+    SEMANTIC TWIN ONLY: this formulation sorts the whole table through
+    |l_returnflag| = 3 partitions — do not reach for it at scale.
+    ``rank_auto`` / ``ntile_auto`` dispatch to the scale-safe
+    formulations (``win_rank_distributed_twophase``,
+    ``win_ntile_distributed``) above ``RANK_NAIVE_MAX_ROWS``."""
     li = load_table(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_returnflag").orderBy("l_quantity")
     # (l_orderkey, l_linenumber) is NOT unique in this data — ntile
@@ -225,6 +231,107 @@ def ntile_from_position(pos, n, k: int):
         .when(pos <= big_span, ceil_div(pos, base + 1))
         .otherwise(rem + ceil_div(pos - big_span, base))
     ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# metadata-thresholded auto-dispatch for the rank / ntile family
+# (the `pagerank_auto` pattern, VERDICT r5: no registered name's only
+# coded plan should be the serial single-partition sort)
+# ---------------------------------------------------------------------------
+
+# Above this many fact rows the naive window formulations stop being
+# acceptable: the rank family funnels the whole table through
+# |l_returnflag| = 3 sort partitions, and global ntile through ONE.
+# 5e7 rows ≈ a few GB through a handful of tasks — the last scale where
+# a single sort task finishes in the same ballpark as the distributed
+# formulation's extra shuffle. Tunable per cluster; the number comes
+# from parquet footer metadata (driver-local stat read, no Spark job).
+RANK_NAIVE_MAX_ROWS = 50_000_000
+
+_RANK_FAMILY_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """
+
+_NTILE_GLOBAL_ORACLE = f"""
+    SELECT l_orderkey, l_linenumber,
+           ntile({NTILE_K}) OVER (ORDER BY {", ".join(_NTILE_ORDER)})
+             AS quartile
+    FROM lineitem
+    """
+
+
+def _rank_family_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-window formulation (no ntile): right below the
+    dispatch threshold, a 3-partition sort bottleneck above it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def _ntile_global_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpartitioned native ntile — the whole table through ONE task;
+    only ever chosen below the dispatch threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.orderBy(*_NTILE_ORDER)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.ntile(NTILE_K).over(w).alias("quartile"))
+
+
+def rank_auto(spark: SparkSession, sf_dir: str,
+              max_naive_rows: int = RANK_NAIVE_MAX_ROWS) -> DataFrame:
+    """Size-dispatched rank family: native window below the row
+    threshold (lowest constant factor, bounded sort), histogram
+    two-phase (``win_rank_distributed_twophase``) above it — so a user
+    reaching for "rank" by name gets a plan that survives 100 TB
+    without having to know the twins exist. The row count comes from
+    parquet footer metadata, no job at plan-construction time."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    if parquet_rowcount(sf_dir, "lineitem") <= max_naive_rows:
+        return _rank_family_naive(spark, sf_dir)
+    return win_rank_distributed_twophase(spark, sf_dir)
+
+
+def ntile_auto(spark: SparkSession, sf_dir: str,
+               max_naive_rows: int = RANK_NAIVE_MAX_ROWS) -> DataFrame:
+    """Size-dispatched global ntile: native single-sort window below
+    the threshold, distributed-selection formulation
+    (``win_ntile_distributed``) above it."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    if parquet_rowcount(sf_dir, "lineitem") <= max_naive_rows:
+        return _ntile_global_naive(spark, sf_dir)
+    return win_ntile_distributed(spark, sf_dir)
+
+
+@query("win_rank_auto", oracle=_RANK_FAMILY_ORACLE)
+def win_rank_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry point for ``rank_auto`` (shares
+    ``win_rank_distributed_twophase``'s oracle — both formulations are
+    semantically identical; the plan assert
+    ``tests/test_plans.py::test_rank_ntile_auto_dispatch`` pins that
+    above-threshold input never plans a native rank window)."""
+    return rank_auto(spark, sf_dir)
+
+
+@query("win_ntile_auto", oracle=_NTILE_GLOBAL_ORACLE)
+def win_ntile_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry point for ``ntile_auto`` (shares
+    ``win_ntile_distributed``'s oracle)."""
+    return ntile_auto(spark, sf_dir)
 
 
 @query(

@@ -59,24 +59,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. Rounds 1-4 verified 181 distinct queries with full oracle rows
-# (CORRECTNESS_r01-r04, all green); re-checking any of them would waste
-# sample slots while unverified names remain. _ordered() floats
-# never-driver-verified names to the front automatically
-# (driver_verified() reads the PINNED, committed CORRECTNESS artifacts),
-# with this curated list as the head of the round-5 window: the four
-# rows-only queries (no oracle → the driver records only that they ran;
-# that weak signal is re-earned EVERY round, since a no-correctness-
-# signal row never marks a query verified — review finding, ADVICE r3),
-# then ALL 30 remaining never-sampled oracle-gated names — this round
-# drains the backlog to zero — then the names added or materially
-# changed in round 5 (the co-partitioned PageRank variant; BM25;
-# temperature mixture; length buckets; distributed ntile; the ANN
-# recall audit; incremental ingest dedup; budgeted quality selection;
-# and the SemDeDup query whose `cell` column became schema-invariant
-# string, ADVICE r4). That fills 43 of the 50 slots; the surplus
-# automatically re-samples the stalest-verified names (regression
-# detection, ADVICE r3).
+# round. Rounds 1-5 verified all 219 oracle-gated queries green
+# (CORRECTNESS_r01-r05) — the backlog is ZERO. The round-6 curated head
+# is therefore small: the four rows-only queries (no oracle → the
+# driver records only that they ran; that weak signal is re-earned
+# EVERY round, since a no-correctness-signal row never marks a query
+# verified — ADVICE r3), the round-6 additions, and the REVERIFY names
+# whose implementation changed after their green row. The ~42 surplus
+# window slots auto-fill with the STALEST-verified names (r1/r2 greens
+# over code edited many times since — regression detection, exactly
+# what VERDICT r5 item 4 orders for this round).
 # tests/test_units.py::test_registry_priority_rotation enforces the
 # window invariants.
 PRIORITY_QUERIES = (
@@ -84,33 +76,13 @@ PRIORITY_QUERIES = (
     # the driver re-runs them every round
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke",
-    # round-4 additions, strict-parity-clean but never driver-sampled
-    "agg_percentile_exact_distributed", "curation_global_shuffle",
-    "join_range_cdf_agg", "dedup_jaccard_stopshingle",
-    # timeseries (remaining shapes)
-    "ts_sliding_window", "ts_session_window", "ts_gap_detection",
-    "ts_asof_join_forward", "ts_subseq_similarity",
-    # text tier (remaining)
-    "text_repetition_filter", "text_vocab_zipf", "text_chunk_overlap",
-    # pipeline composites + similarity
-    "pipeline_release_report", "sim_ivf_centroids",
-    # multimodal plumbing
-    "mm_frame_sample", "mm_resize_downsample",
-    # UDF surface (remaining)
-    "udf_map_in_pandas", "udf_python_udtf", "udf_map_in_arrow",
-    "udf_polymorphic_udtf_analyze",
-    # sources/formats (remaining)
-    "synth_timeseries_agg", "fmt_json_roundtrip", "fmt_local_data_broadcast",
-    "fmt_range_sorted_layout", "src_python_stream_datasource",
-    # streaming (remaining)
-    "stream_watermark_late_data", "stream_dedup", "stream_sliding_window",
-    "stream_session_window", "stream_static_join",
-    # round-5 new / materially changed (REVERIFY)
-    "graph_pagerank_copartitioned", "dedup_semdedup_cells",
-    "text_bm25_ranked", "mix_temperature_sampling",
-    "curation_length_buckets", "win_ntile_distributed",
-    "sim_ann_recall_report", "dedup_incremental_ingest",
-    "curation_quality_budget_select",
+    # round-6 new: metadata-thresholded auto-dispatch for rank / ntile
+    "win_rank_auto", "win_ntile_auto",
+    # round-6 materially changed (REVERIFY): SemDeDup gained the
+    # NULL-label guard; co-partitioned PageRank moved to an isolated
+    # child session (ADVICE r5) — their r5 green rows attest the old
+    # code, so both re-enter the window
+    "dedup_semdedup_cells", "graph_pagerank_copartitioned",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -123,16 +95,18 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r5: dedup_semdedup_cells' `cell` output column became string at ALL
-# scales (ADVICE r4 — schema was size-dependent) and its oracle gained
-# the matching CAST; the r3 green row attests the old int32 schema.
-REVERIFY: tuple[str, ...] = ("dedup_semdedup_cells",)
+# r6: dedup_semdedup_cells gained the NULL-label guard and
+# graph_pagerank_copartitioned moved to an isolated child session
+# (both ADVICE r5) — their r5 green rows attest the pre-edit code.
+REVERIFY: tuple[str, ...] = ("dedup_semdedup_cells",
+                             "graph_pagerank_copartitioned")
 
 
 def _verdicts() -> dict[str, bool]:

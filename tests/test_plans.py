@@ -520,3 +520,30 @@ def test_adversarial_skew_aqe_splits_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rank_ntile_auto_dispatch(spark, sf_dir):
+    # VERDICT r5: no registered name's only coded plan may be the
+    # serial single-partition sort. rank_auto / ntile_auto must pick
+    # the native window BELOW the metadata threshold and the
+    # distributed formulations ABOVE it — asserted on the physical
+    # plan: the scale path contains NO native rank()/ntile() window
+    # function anywhere (both twins compute the values arithmetically
+    # from histogram / range-bucket counts) and carries the range
+    # shuffle the distributed-selection shape is built on.
+    from dask_lambda_example_spark.operators.windows import (
+        ntile_auto, rank_auto)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    naive = physical_plan(rank_auto(spark, sf_dir))  # sf0.001 << 5e7
+    assert "rank(" in naive, naive[:1500]
+
+    scale = physical_plan(rank_auto(spark, sf_dir, max_naive_rows=0))
+    assert "rank(" not in scale, scale[:1500]
+
+    naive_nt = physical_plan(ntile_auto(spark, sf_dir))
+    assert "ntile(" in naive_nt, naive_nt[:1500]
+
+    scale_nt = physical_plan(ntile_auto(spark, sf_dir, max_naive_rows=0))
+    assert "ntile(" not in scale_nt, scale_nt[:1500]
+    assert "rangepartitioning" in scale_nt.lower(), scale_nt[:1500]
