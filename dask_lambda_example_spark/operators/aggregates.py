@@ -270,6 +270,46 @@ def agg_percentile_exact_distributed(spark: SparkSession,
             .withColumnRenamed("g", "l_linestatus"))
 
 
+# Above this many fact rows the buffered percentile's aggregation state
+# (every group value in ONE TypedImperative buffer, merged on one task)
+# stops being safe — ~rows/|groups| × 8 B of heap on a single task.
+# Same dispatch pattern as rank_auto/pagerank_auto (VERDICT r5): sized
+# from parquet footer metadata, no job at plan-construction time.
+PCT_BUFFERED_MAX_ROWS = 50_000_000
+
+
+def percentile_auto(spark: SparkSession, sf_dir: str,
+                    max_buffered_rows: int = PCT_BUFFERED_MAX_ROWS
+                    ) -> DataFrame:
+    """Size-dispatched exact percentiles: buffered ``F.percentile``
+    below the row threshold (one aggregation, lowest constant factor),
+    distributed selection (``agg_percentile_exact_distributed``) above
+    it — identical results either way (shared oracle)."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    if parquet_rowcount(sf_dir, "lineitem") <= max_buffered_rows:
+        return agg_percentile_exact(spark, sf_dir)
+    return agg_percentile_exact_distributed(spark, sf_dir)
+
+
+@query(
+    "agg_percentile_auto",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry point for ``percentile_auto`` — a user asking
+    for exact percentiles by name can no longer buffer a 100 TB group
+    in one aggregation state (plan-asserted in
+    ``tests/test_plans.py::test_rank_ntile_auto_dispatch``)."""
+    return percentile_auto(spark, sf_dir)
+
+
 @query(
     "agg_global_reduction",
     oracle="""

@@ -76,8 +76,9 @@ PRIORITY_QUERIES = (
     # the driver re-runs them every round
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke",
-    # round-6 new: metadata-thresholded auto-dispatch for rank / ntile
-    "win_rank_auto", "win_ntile_auto",
+    # round-6 new: metadata-thresholded auto-dispatch (rank / ntile /
+    # exact percentile)
+    "win_rank_auto", "win_ntile_auto", "agg_percentile_auto",
     # round-6 materially changed (REVERIFY): SemDeDup gained the
     # NULL-label guard; co-partitioned PageRank moved to an isolated
     # child session (ADVICE r5) — their r5 green rows attest the old

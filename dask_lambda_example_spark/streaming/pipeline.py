@@ -67,11 +67,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer (no inference mid-stream); the raw ns-long ts converts the
     same way as ``io.load_table``."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # two on-disk layouts exist: a single file `events.parquet` (driver
+    # testdata) and a DIRECTORY of part files (the scale tiers from
+    # tools/make_sf1.py). The file source treats a directory path as
+    # its root, so point at the table path when it IS a directory; the
+    # glob filter is only needed for the single-file-in-shared-dir case
+    # (without it the stream would ingest every sibling table).
+    import os as _os
+
+    tbl = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(tbl):
+        stream = spark.readStream.schema(batch_schema).parquet(tbl)
+    else:
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -547,3 +547,15 @@ def test_rank_ntile_auto_dispatch(spark, sf_dir):
     scale_nt = physical_plan(ntile_auto(spark, sf_dir, max_naive_rows=0))
     assert "ntile(" not in scale_nt, scale_nt[:1500]
     assert "rangepartitioning" in scale_nt.lower(), scale_nt[:1500]
+
+    # same contract for the percentile dispatcher: the scale path must
+    # never plan the buffered TypedImperative percentile aggregate
+    from dask_lambda_example_spark.operators.aggregates import (
+        percentile_auto)
+
+    naive_p = physical_plan(percentile_auto(spark, sf_dir))
+    assert "percentile(" in naive_p, naive_p[:1500]
+    scale_p = physical_plan(percentile_auto(spark, sf_dir,
+                                            max_buffered_rows=0))
+    assert "percentile(" not in scale_p, scale_p[:1500]
+    assert "rangepartitioning" in scale_p.lower(), scale_p[:1500]
