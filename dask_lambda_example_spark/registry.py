@@ -77,8 +77,10 @@ PRIORITY_QUERIES = (
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke",
     # round-6 new: metadata-thresholded auto-dispatch (rank / ntile /
-    # exact percentile)
+    # exact percentile / rolling time-range) and the bucketed-overlap
+    # rolling twin the skew battery motivated
     "win_rank_auto", "win_ntile_auto", "agg_percentile_auto",
+    "win_rolling_auto", "win_rolling_time_range_bucketed",
     # round-6 materially changed (REVERIFY): SemDeDup gained the
     # NULL-label guard; co-partitioned PageRank moved to an isolated
     # child session (ADVICE r5) — their r5 green rows attest the old

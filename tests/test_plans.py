@@ -559,3 +559,37 @@ def test_rank_ntile_auto_dispatch(spark, sf_dir):
                                             max_buffered_rows=0))
     assert "percentile(" not in scale_p, scale_p[:1500]
     assert "rangepartitioning" in scale_p.lower(), scale_p[:1500]
+
+
+def test_rolling_auto_dispatch(spark, sf_dir):
+    # Round-6 skew battery: a 27%-hot user_id made the plain rolling
+    # time-range window 4.2x slower -- one task owns the whole hot
+    # partition. The bucketed-overlap twin must partition the window by
+    # (user_id, bkt) so a hot entity's timeline splits across tasks,
+    # and the dispatcher must choose it above the metadata threshold.
+    import re
+
+    from dask_lambda_example_spark.operators.windows import (
+        rolling_time_range_auto, win_rolling_time_range_bucketed)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    naive = physical_plan(rolling_time_range_auto(spark, sf_dir))
+    assert "hashpartitioning(user_id" in naive, naive[:1500]
+    assert "bkt" not in naive, naive[:1500]
+
+    scale = physical_plan(rolling_time_range_auto(spark, sf_dir,
+                                                  max_naive_rows=0))
+    # the window's exchange must hash on BOTH the entity and the time
+    # bucket -- that is the straggler fix
+    assert re.search(r"hashpartitioning\(user_id#\d+(?:L)?,\s*bkt#\d+",
+                     scale), scale[:2000]
+
+    # and the bucketed form agrees with the plain form row-for-row
+    from dask_lambda_example_spark.operators.windows import (
+        win_rolling_time_range)
+
+    a = {tuple(r) for r in
+         win_rolling_time_range(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         win_rolling_time_range_bucketed(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
