@@ -654,3 +654,119 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_mmr_diversified_topk.__doc__ = sim_mmr_diversified_topk.__doc__.format(
     n=MMR_CAND, k=MMR_K, lam=MMR_LAMBDA)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 (lexical) + cosine (semantic) fused with RRF
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # standard reciprocal-rank-fusion damping constant
+RRF_N_CAND = 50     # candidate-list depth per modality
+RRF_TOP = 20        # fused results returned
+RRF_QUERY_VEC = 0   # pinned probe: embedding of vec_id 0
+
+
+def _hybrid_rrf_oracle() -> str:
+    from dask_lambda_example_spark.operators.text import (
+        _bm25_ctes, _bm25_score_sql)
+
+    cos = _cos_sql("c.emb", "q.emb")
+    return f"""
+    WITH {_bm25_ctes()},
+    lex AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY {_bm25_score_sql()} DESC,
+                                      doc_id) AS r_lex
+            FROM per_doc)
+        WHERE r_lex <= {RRF_N_CAND}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    qv AS (SELECT emb FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+    sem_scored AS (
+        SELECT c.vec_id AS doc_id, {cos} AS cos
+        FROM e c CROSS JOIN qv q
+        WHERE c.vec_id <> {RRF_QUERY_VEC}),
+    sem AS (
+        SELECT doc_id, r_sem FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+            FROM sem_scored)
+        WHERE r_sem <= {RRF_N_CAND}),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.r_lex), 0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.r_sem), 0)
+                 AS rrf,
+               l.r_lex, s.r_sem
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, round(rrf, 6) AS rrf, r_lex, r_sem
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@query("sim_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    recall stage: a LEXICAL candidate list (Okapi BM25 over the pinned
+    term query, ``text.bm25_scores``) and a SEMANTIC candidate list
+    (exact cosine against one pinned probe embedding) are each cut to
+    the top-{n}, then fused by ``rrf = Σ 1/({k} + rank_i)`` and the
+    top-{top} returned.
+
+    Plan shape for 100 TB: each modality keeps its own scale-safe scan
+    — the BM25 side is the inverted-index plan (postings filtered at
+    explode, |query|-row broadcast df), the semantic side is a
+    broadcast-probe projection over the corpus with NO shuffle — and
+    both reduce to a TakeOrdered top-{n} BEFORE fusion, so the
+    rank-assignment windows and the full-outer fusion join only ever
+    see ≤{n}-row frames regardless of corpus size. Candidate-list
+    depth, not data volume, bounds everything downstream of the two
+    scans.
+
+    Float discipline: ranks are integers; each fused score is exactly
+    two IEEE divisions added in fixed order — bit-stable against the
+    oracle's identical expression. Ties broken by doc_id at every
+    ranking step."""
+    from dask_lambda_example_spark.operators.text import bm25_scores
+
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RRF_N_CAND))
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", l2norm(F.col("emb")))
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
+    sem_scored = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"),
+                cosine_pair(F.col("emb"), F.col("qemb"),
+                            F.col("nrm"), F.col("qnrm")).alias("cos")))
+    sem_top = sem_scored.orderBy(
+        F.desc("cos"), F.asc("doc_id")).limit(RRF_N_CAND)
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).alias("r_sem"))
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+             + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
+             ).alias("rrf"),
+            "r_lex", "r_sem"))
+    return (fused
+            .select("doc_id", F.round("rrf", 6).alias("rrf"),
+                    "r_lex", "r_sem")
+            .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP))
+
+
+sim_hybrid_rrf.__doc__ = sim_hybrid_rrf.__doc__.format(
+    n=RRF_N_CAND, k=RRF_K, top=RRF_TOP)

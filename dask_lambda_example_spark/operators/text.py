@@ -352,15 +352,23 @@ BM25_QUERY = ("hash", "merge", "vector")  # pinned query terms
 BM25_TOP = 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_score_sql() -> str:
+    """Fixed-order recombination of the per-term contributions —
+    shared by the BM25 oracle and the hybrid-RRF oracle."""
+    return " + ".join(
+        f"coalesce(c_{i}, 0)" for i in range(len(BM25_QUERY)))
+
+
+def _bm25_ctes() -> str:
+    """The BM25 scoring pipeline as a reusable CTE chain ending in
+    ``per_doc(doc_id, c_0..c_k)`` — nested verbatim by both the BM25
+    oracle and ``sim_hybrid_rrf``'s (composition stays value-checked)."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     per_term = ", ".join(
         f"max(CASE WHEN term = '{t}' THEN contrib END) AS c_{i}"
         for i, t in enumerate(BM25_QUERY))
-    score = " + ".join(
-        f"coalesce(c_{i}, 0)" for i in range(len(BM25_QUERY)))
     return f"""
-    WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
                 FROM documents),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -378,28 +386,26 @@ def _bm25_oracle() -> str:
                   * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS contrib
         FROM tf JOIN df USING (term)
         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
-    per_doc AS (SELECT doc_id, {per_term} FROM scored GROUP BY doc_id)
+    per_doc AS (SELECT doc_id, {per_term} FROM scored GROUP BY doc_id)"""
+
+
+def _bm25_oracle() -> str:
+    score = _bm25_score_sql()
+    return f"""
+    WITH {_bm25_ctes()}
     SELECT doc_id, round({score}, 6) AS bm25
     FROM per_doc
     ORDER BY round({score}, 6) DESC, doc_id LIMIT {BM25_TOP}
     """
 
 
-@query("text_bm25_ranked", oracle=_bm25_oracle())
-def text_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval (k1={k1}, b={b}) for a pinned query
-    — the lexical-retrieval half of a RAG corpus build. The plan is the
-    inverted-index shape that survives any corpus size: the token
-    stream is filtered to the query terms IMMEDIATELY after explode (so
-    the (doc, term) shuffle carries only matching postings), document
-    frequency is a |query|-row broadcast, document length and corpus
-    stats are one broadcast aggregate, and the top-k is TakeOrdered —
-    no global sort, no window over the corpus.
-
-    Float discipline: the per-doc score sums one contribution per query
-    term in FIXED textual order (conditional aggregates recombined with
-    explicit ``+``), not an arbitrary-order SUM — bit-stable against
-    the oracle's identical recombination."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 scores for the pinned query — the unranked
+    core of ``text_bm25_ranked``, reused by the hybrid-RRF retrieval
+    (`operators/similarity.py`). Returns ``doc_id, bm25`` for every
+    document matching at least one query term; same inverted-index
+    plan shape and fixed-order float recombination as the ranked
+    query."""
     d = load_table(spark, sf_dir, "documents", parallel=True)
     dl = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
@@ -431,8 +437,27 @@ def text_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(BM25_QUERY)):
         part = F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
         score = part if score is None else score + part
+    return per_doc.select("doc_id", score.alias("bm25"))
+
+
+@query("text_bm25_ranked", oracle=_bm25_oracle())
+def text_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1={k1}, b={b}) for a pinned query
+    — the lexical-retrieval half of a RAG corpus build. The plan is the
+    inverted-index shape that survives any corpus size: the token
+    stream is filtered to the query terms IMMEDIATELY after explode (so
+    the (doc, term) shuffle carries only matching postings), document
+    frequency is a |query|-row broadcast, document length and corpus
+    stats are one broadcast aggregate, and the top-k is TakeOrdered —
+    no global sort, no window over the corpus.
+
+    Float discipline: the per-doc score sums one contribution per query
+    term in FIXED textual order (conditional aggregates recombined with
+    explicit ``+``), not an arbitrary-order SUM — bit-stable against
+    the oracle's identical recombination."""
     return (
-        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        bm25_scores(spark, sf_dir)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )

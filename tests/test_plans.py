@@ -593,3 +593,28 @@ def test_rolling_auto_dispatch(spark, sf_dir):
     b = {tuple(r) for r in
          win_rolling_time_range_bucketed(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    # Both modalities must reduce to TakeOrdered top-N before fusion
+    # (candidate depth, not corpus size, bounds the fusion join and the
+    # rank windows), the semantic probe must broadcast, and the BM25 df
+    # table must broadcast -- no corpus-sized shuffle after the scans.
+    from dask_lambda_example_spark.operators.similarity import (
+        sim_hybrid_rrf)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(sim_hybrid_rrf(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:2000]
+    # the fusion join is a full-outer SMJ by necessity (full outer
+    # cannot broadcast) — the contract is that BOTH of its inputs are
+    # the candidate-depth TakeOrdered frames, i.e. the only SMJ sits
+    # above the two limit-50 cuts, never on a corpus-sized side
+    from dask_lambda_example_spark.operators.similarity import RRF_N_CAND
+
+    smj = plan.find("SortMergeJoin")
+    assert smj != -1 and plan.count("SortMergeJoin") == 1, plan[:2000]
+    cuts = [i for i in range(len(plan))
+            if plan.startswith(
+                f"TakeOrderedAndProject(limit={RRF_N_CAND}", i)]
+    assert len(cuts) == 2 and all(i > smj for i in cuts), plan[:2000]

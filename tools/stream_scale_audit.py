@@ -138,14 +138,19 @@ def join_query(spark, sf_dir: str):
 
 def main() -> int:
     out_path = None
+    tiers = TIERS
     if "--json" in sys.argv:
         out_path = sys.argv[sys.argv.index("--json") + 1]
+    if "--tiers" in sys.argv:
+        # e.g. --tiers sf1=/root/repo/.localdata/sf1,sf10=...
+        spec = sys.argv[sys.argv.index("--tiers") + 1]
+        tiers = tuple(tuple(t.split("=", 1)) for t in spec.split(","))
 
     from dask_lambda_example_spark.session import get_spark
 
     spark = get_spark("stream-scale-audit")
     results = []
-    for tag, sf_dir in TIERS:
+    for tag, sf_dir in tiers:
         if not os.path.exists(f"{sf_dir}/events.parquet"):
             print(f"SKIP {tag}: {sf_dir} missing", file=sys.stderr)
             continue
