@@ -843,6 +843,10 @@ def test_empty_corpus_is_survivable(spark, tmp_path):
     (spark.createDataFrame(
         [], "vec_id long, embedding array<float>, label int")
      .write.parquet(f"{tmp_path}/embeddings.parquet"))
+    (spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+     .write.parquet(f"{tmp_path}/events.parquet"))
 
     from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
 
@@ -855,6 +859,11 @@ def test_empty_corpus_is_survivable(spark, tmp_path):
         "pack_sequences", "sim_cosine_topk_bruteforce",
         "curation_quality_budget_select", "dedup_incremental_ingest",
         "sim_ann_recall_report",
+        # round-6 additions: hybrid fusion of two empty candidate
+        # lists (and an absent probe vector), rolling windows over an
+        # empty events table (bucketed union of two empty sides)
+        "sim_hybrid_rrf", "win_rolling_auto",
+        "win_rolling_time_range_bucketed",
     ]
     for name in names:
         df = QUERIES[name].fn(spark, str(tmp_path))
