@@ -770,3 +770,67 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_hybrid_rrf.__doc__ = sim_hybrid_rrf.__doc__.format(
     n=RRF_N_CAND, k=RRF_K, top=RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit (exact vs cell-pruned search) — the second ANN index
+# gets the same sign-off number as the sign-LSH one
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES
+
+    exact = QUERIES["sim_cosine_topk_bruteforce"].oracle
+    ivf = QUERIES["sim_ivf_search"].oracle
+    return f"""
+    WITH exact_full AS ({exact}),
+    ivf_full AS ({ivf}),
+    exact_k AS (SELECT query_id, neighbor_id FROM exact_full
+                WHERE rank <= {IVF_K}),
+    hits AS (
+        SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        FROM exact_k e
+        LEFT JOIN ivf_full a ON a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id)
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit * 1.0 / {IVF_K}, 6) AS recall_at_k
+    FROM hits
+    """
+
+
+@query("sim_ivf_recall_report", oracle=_ivf_recall_oracle())
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF cell-pruned search against exact brute
+    force — the sibling of ``sim_ann_recall_report`` for the second ANN
+    index, so BOTH approximate paths ship with a measured sign-off
+    number. Per probe: how many of the exact top-{k} neighbors the
+    single-cell IVF search recovered.
+
+    Same composition discipline: the Spark side calls the two
+    REGISTERED implementations, the oracle nests their oracle SQL as
+    CTEs, so the audit is value-checked end-to-end and IVF's
+    single-probe-cell recall loss (probes whose true neighbors live in
+    a different cell score 0) is a measured artifact. Scale: both
+    inputs are probe-bounded; the audit join touches |probes| × k
+    rows. The knob this report tunes at 100 TB is n_probe_cells —
+    searching the top-p centroid cells instead of 1 trades scan
+    fraction (p / n_cells) against exactly the recall measured here."""
+    exact_k = (sim_cosine_topk_bruteforce(spark, sf_dir)
+               .filter(F.col("rank") <= IVF_K)
+               .select("query_id", "neighbor_id"))
+    ivf = (sim_ivf_search(spark, sf_dir)
+           .select("query_id", F.col("neighbor_id").alias("ivf_neighbor")))
+    return (
+        exact_k.join(
+            ivf, (exact_k.query_id == ivf.query_id)
+            & (exact_k.neighbor_id == ivf.ivf_neighbor), "left")
+        .groupBy(exact_k.query_id.alias("query_id"))
+        .agg(F.count("ivf_neighbor").alias("n_hit"))
+        .select("query_id", "n_hit",
+                F.round(F.col("n_hit") / IVF_K, 6).alias("recall_at_k"))
+    )
+
+
+sim_ivf_recall_report.__doc__ = sim_ivf_recall_report.__doc__.format(k=IVF_K)
