@@ -81,9 +81,12 @@ PRIORITY_QUERIES = (
     # rolling twin the skew battery motivated
     "win_rank_auto", "win_ntile_auto", "agg_percentile_auto",
     "win_rolling_auto", "win_rolling_time_range_bucketed",
-    # round-6 new: hybrid lexical+semantic retrieval (RRF fusion) and
-    # the IVF recall@k audit (second ANN index gets a sign-off number)
+    # round-6 new: hybrid lexical+semantic retrieval (RRF fusion), the
+    # IVF recall@k audits (both ANN indexes get sign-off numbers), and
+    # the n_probe knob (multiprobe search; its recall pairs with the
+    # single-cell number to form the measured recall-vs-cost curve)
     "sim_hybrid_rrf", "sim_ivf_recall_report",
+    "sim_ivf_search_multiprobe", "sim_ivf_recall_multiprobe",
     # round-6 materially changed (REVERIFY): SemDeDup gained the
     # NULL-label guard; co-partitioned PageRank moved to an isolated
     # child session (ADVICE r5) — their r5 green rows attest the old
