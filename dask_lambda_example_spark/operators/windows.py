@@ -452,12 +452,18 @@ _ROLLING_TIME_RANGE_ORACLE = """
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """
 
-# Above this many event rows (or when a key is known-hot) the per-entity
-# window partition becomes a straggler: ALL of one entity's history runs
-# on ONE task. The round-6 Zipf-skew battery measured it — a 27%-hot
-# user_id made `win_rolling_time_range` 4.2x slower while every other
-# family moved <1.6x. Same footer-metadata dispatch as rank_auto.
-ROLL_NAIVE_MAX_ROWS = 50_000_000
+# Above this many event rows the per-entity window partition is a
+# straggler RISK: ALL of one entity's history runs on ONE task, and
+# entity skew is invisible to parquet footer metadata (footers carry
+# row counts and NDV — avg rows/entity — but never max-per-key). The
+# threshold is therefore set by COST ASYMMETRY, not by when the plain
+# form breaks on uniform data: the bucketed form's uniform-data
+# overhead is ~2x (row duplication), while the plain form under a
+# 27%-hot key measured 4.2x at sf1 and 12.8x at sf10 (round-6 skew
+# battery) — so past the scale where 2x constant cost is noise, the
+# skew-immune plan is the right default. 5e6 rows ≈ where the plain
+# form's win on uniform data stops mattering (sub-second either way).
+ROLL_NAIVE_MAX_ROWS = 5_000_000
 
 
 @query("win_rolling_time_range_bucketed", oracle=_ROLLING_TIME_RANGE_ORACLE)
