@@ -996,6 +996,16 @@ def test_scale_campaign_artifacts_are_sane():
     # the headline claim: aggregate skew degradation stays under 1.25x
     assert s["value"] / u["value"] < 1.25, (s["value"], u["value"])
 
+    pair10 = json.loads((repo / "BENCH_sf10_skew_pair.json").read_text())
+    u10, s10 = pair10["uniform_sf10"], pair10["skew_sf10"]
+    assert u10["failed"] == [] and s10["failed"] == []
+    # the straggler-fix claim at 100x: the bucketed rolling form stays
+    # skew-invariant (<2x) while the plain sibling documents >10x
+    b = "win_rolling_time_range_bucketed"
+    assert s10["queries"][b] / u10["queries"][b] < 2.0
+    p = "win_rolling_time_range"
+    assert s10["queries"][p] / u10["queries"][p] > 5.0  # the documented straggler
+
     audit = json.loads((repo / "STREAM_AUDIT_r6.json").read_text())
     assert len(audit) >= 12
     # windowed-agg state must be scale-invariant; join state linear
