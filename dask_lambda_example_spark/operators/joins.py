@@ -195,7 +195,15 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual range filter — the binning pattern for range joins. The
     probe side is additionally capped to a fixed key range so output
     (and with it enumeration cost) grows linearly with the corpus; at
-    sf ≤ 0.1 the cap covers every part and is a no-op."""
+    sf ≤ 0.1 the cap covers every part and is a no-op.
+
+    Ω(output) BY CONSTRUCTION — this form RETURNS the pair list, so
+    its cost is the pair count (round-6 three-point campaign: emitted
+    pairs grow exactly 10× for 10× data under the cap, time is
+    output-bound). When the downstream question is an aggregate, use
+    the registered sibling ``join_range_cdf_agg`` (same semantics
+    reduced via per-brand CDF counts, 1.9× growth on the same pair) —
+    never enumerate pairs you are about to count."""
     p1 = (load_table(spark, sf_dir, "part")
           .filter((F.col("p_size") <= 2)
                   & (F.col("p_partkey") <= THETA_PROBE_CAP))
