@@ -452,7 +452,7 @@ def _ivf_search_oracle(n_probe_cells: int = 1) -> str:
 
 
 def _ivf_search_impl(spark: SparkSession, sf_dir: str,
-                     n_probe_cells: int) -> DataFrame:
+                     n_probe_cells: int, k: int = IVF_K) -> DataFrame:
     """Shared IVF pipeline: assign each probe to its ``n_probe_cells``
     nearest centroids, exact top-k within those cells only."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
@@ -502,7 +502,7 @@ def _ivf_search_impl(spark: SparkSession, sf_dir: str,
                                                    F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wrank))
-        .filter(F.col("rank") <= IVF_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
                 "rank")
     )
@@ -906,3 +906,56 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ivf_recall_report.__doc__ = sim_ivf_recall_report.__doc__.format(k=IVF_K)
+
+
+# ---------------------------------------------------------------------------
+# metadata-thresholded auto-dispatch: exact brute force <-> IVF ANN
+# (VERDICT r6 item 2: the exact/IVF pair was the same naive/twin shape
+# as rank/ntile/percentile/rolling but undispatched)
+# ---------------------------------------------------------------------------
+
+# Above this many corpus vectors the exact search stops being
+# acceptable as a default: brute force scans the WHOLE corpus per probe
+# (O(|probes| x n) dot products), while IVF-multiprobe scans
+# n_probe/n_cells of it with the recall cost measured by
+# `sim_ivf_recall_multiprobe`. 1e7 128-dim float vectors ~ 5 GB of
+# per-probe streaming compute -- the last scale where exactness is
+# worth a full scan by default; past it a user reaching for "top-k
+# neighbors" by name gets the index. Row count from parquet footer
+# metadata, no job at plan-construction time.
+SIM_EXACT_MAX_ROWS = 10_000_000
+
+
+def sim_search_auto_impl(spark: SparkSession, sf_dir: str,
+                         max_exact_rows: int = SIM_EXACT_MAX_ROWS
+                         ) -> DataFrame:
+    """Size-dispatched similarity search: exact brute-force cosine
+    top-k below the corpus-row threshold (no recall loss, bounded
+    scan), IVF multiprobe (scan fraction n_probe/n_cells, recall
+    measured by the registered audits) above it. Both branches return
+    the same (query_id, neighbor_id, cos, rank<=k) contract with
+    k = TOP_K."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    if parquet_rowcount(sf_dir, "embeddings") <= max_exact_rows:
+        return sim_cosine_topk_bruteforce(spark, sf_dir)
+    return _ivf_search_impl(spark, sf_dir, IVF_PROBE_CELLS, k=TOP_K)
+
+
+def _sim_search_auto_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES
+
+    return QUERIES["sim_cosine_topk_bruteforce"].oracle
+
+
+@query("sim_search_auto", oracle=_sim_search_auto_oracle())
+def sim_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry point for ``sim_search_auto_impl`` (shares the
+    exact search's oracle: below the threshold -- including the sf0.01
+    oracle scale -- the dispatcher IS the exact search; above it the
+    approximation is a deliberate, recall-audited trade the
+    ``sim_ivf_recall_*`` queries price. The plan assert
+    ``tests/test_plans.py::test_sim_search_auto_dispatch`` pins that
+    above-threshold input plans the centroid-pruned pipeline, never the
+    full-corpus scan-per-probe join)."""
+    return sim_search_auto_impl(spark, sf_dir)

@@ -487,9 +487,13 @@ def win_rolling_time_range_bucketed(spark: SparkSession,
     e = (load_table(spark, sf_dir, "events")
          .withColumn("ep", F.unix_timestamp("ts"))
          .select("user_id", "event_id", "value", "ep"))
-    native = e.withColumn("bkt", (F.col("ep") / B).cast("long")) \
+    # floor, not a truncating cast: for negative epochs (pre-1970
+    # timestamps) truncation rounds toward zero and rows land one
+    # bucket high, silently dropping frame members (ADVICE r6)
+    bkt = F.floor(F.col("ep") / B).cast("long")
+    native = e.withColumn("bkt", bkt) \
               .withColumn("is_native", F.lit(True))
-    context = e.withColumn("bkt", (F.col("ep") / B).cast("long") + 1) \
+    context = e.withColumn("bkt", bkt + 1) \
                .withColumn("is_native", F.lit(False))
     w = (W.partitionBy("user_id", "bkt").orderBy("ep")
          .rangeBetween(-B, W.currentRow))

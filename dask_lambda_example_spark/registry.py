@@ -59,39 +59,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. Rounds 1-5 verified all 219 oracle-gated queries green
-# (CORRECTNESS_r01-r05) — the backlog is ZERO. The round-6 curated head
+# round. Rounds 1-6 verified all 228 oracle-gated queries green
+# (cumulative union of CORRECTNESS_r01-r06; VERDICT r6 re-derived zero
+# never-verified names) — the backlog is ZERO. The round-7 curated head
 # is therefore small: the four rows-only queries (no oracle → the
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
-# verified — ADVICE r3), the round-6 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~42 surplus
-# window slots auto-fill with the STALEST-verified names (r1/r2 greens
-# over code edited many times since — regression detection, exactly
-# what VERDICT r5 item 4 orders for this round).
-# tests/test_units.py::test_registry_priority_rotation enforces the
-# window invariants.
+# verified — ADVICE r3), the round-7 additions, and the REVERIFY names
+# whose implementation changed after their green row. The ~40 surplus
+# window slots (50 minus this curated head) auto-fill with the
+# STALEST-verified names — r2/r3 greens over code edited many times
+# since — regression detection (ADVICE r6 fixed the stale slot math in
+# this comment). tests/test_units.py::test_registry_priority_rotation
+# enforces the window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —
     # the driver re-runs them every round
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke",
-    # round-6 new: metadata-thresholded auto-dispatch (rank / ntile /
-    # exact percentile / rolling time-range) and the bucketed-overlap
-    # rolling twin the skew battery motivated
-    "win_rank_auto", "win_ntile_auto", "agg_percentile_auto",
-    "win_rolling_auto", "win_rolling_time_range_bucketed",
-    # round-6 new: hybrid lexical+semantic retrieval (RRF fusion), the
-    # IVF recall@k audits (both ANN indexes get sign-off numbers), and
-    # the n_probe knob (multiprobe search; its recall pairs with the
-    # single-cell number to form the measured recall-vs-cost curve)
-    "sim_hybrid_rrf", "sim_ivf_recall_report",
-    "sim_ivf_search_multiprobe", "sim_ivf_recall_multiprobe",
-    # round-6 materially changed (REVERIFY): SemDeDup gained the
-    # NULL-label guard; co-partitioned PageRank moved to an isolated
-    # child session (ADVICE r5) — their r5 green rows attest the old
-    # code, so both re-enter the window
-    "dedup_semdedup_cells", "graph_pagerank_copartitioned",
+    # round-7 new: the last two named scale-killers put behind metadata
+    # dispatchers (VERDICT r6 items 1-2) — range-join aggregation
+    # (enumerate-then-count vs pair-free CDF) and similarity search
+    # (exact brute force vs IVF multiprobe) — plus the binned band join
+    # that keeps PAIR-LIST range joins off BroadcastNestedLoop
+    "join_theta_auto", "join_band_binned", "sim_search_auto",
+    # round-7 materially changed (REVERIFY): the bucketed rolling twin's
+    # bucket id moved from a truncating cast to floor (ADVICE r6 — the
+    # negative-epoch latent bug), which win_rolling_auto dispatches to;
+    # stream_tumbling_counts attests the events_stream reader-path edit
+    # (files_per_trigger option threaded for the audit tooling)
+    "win_rolling_time_range_bucketed", "win_rolling_auto",
+    "stream_tumbling_counts",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -105,17 +103,22 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r6: dedup_semdedup_cells gained the NULL-label guard and
-# graph_pagerank_copartitioned moved to an isolated child session
-# (both ADVICE r5) — their r5 green rows attest the pre-edit code.
-REVERIFY: tuple[str, ...] = ("dedup_semdedup_cells",
-                             "graph_pagerank_copartitioned")
+# r7: the bucketed rolling twin's bucket id moved to floor (ADVICE r6)
+# — its r6 green row attests the truncating-cast code — and
+# win_rolling_auto dispatches to it; stream_tumbling_counts re-attests
+# the edited events_stream reader path on behalf of the stream_* family
+# (the files_per_trigger option defaults to None → identical plans, one
+# representative re-run is the right cost).
+REVERIFY: tuple[str, ...] = ("win_rolling_time_range_bucketed",
+                             "win_rolling_auto",
+                             "stream_tumbling_counts")
 
 
 def _verdicts() -> dict[str, bool]:

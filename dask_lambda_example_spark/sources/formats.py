@@ -37,6 +37,12 @@ from dask_lambda_example_spark.registry import query
 # fmt_compaction_small_files when pytest and a parity sweep overlap.
 _SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats",
                         f"pid_{os.getpid()}")
+# Single source of truth for the per-PID Derby scratch root: _jdbc_opts
+# builds the db path under it and the atexit cleanup removes it — one
+# constant, so the two can never drift apart (ADVICE r6: the cleanup
+# used to re-derive the path independently).
+_JDBC_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
+                             f"pid_{os.getpid()}")
 
 # Per-PID scratch must not accumulate across runs (ADVICE r5): remove
 # this process's root at interpreter exit. ignore_errors — a vanished
@@ -46,11 +52,7 @@ import atexit  # noqa: E402
 import shutil  # noqa: E402
 
 atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
-atexit.register(
-    shutil.rmtree,
-    os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
-                 f"pid_{os.getpid()}"),
-    ignore_errors=True)
+atexit.register(shutil.rmtree, _JDBC_SCRATCH, ignore_errors=True)
 
 
 def _dir(name: str) -> str:
@@ -65,8 +67,7 @@ def _jdbc_opts() -> dict:
     JVM-wide boot lock on the db directory, so two concurrent test
     processes must not share one. /tmp cleanup is the container's.
     """
-    db = os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
-                      f"pid_{os.getpid()}", "db")
+    db = os.path.join(_JDBC_SCRATCH, "db")
     return {
         "url": f"jdbc:derby:{db};create=true",
         "driver": "org.apache.derby.jdbc.EmbeddedDriver",

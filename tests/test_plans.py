@@ -618,3 +618,76 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
             if plan.startswith(
                 f"TakeOrderedAndProject(limit={RRF_N_CAND}", i)]
     assert len(cuts) == 2 and all(i > smj for i in cuts), plan[:2000]
+
+
+def test_theta_auto_dispatch(spark, sf_dir):
+    # VERDICT r6 item 1: the range-join aggregation dispatcher must pick
+    # the enumerate-then-count form BELOW the metadata threshold (the
+    # row-level range join is visible as the sz1 < sz2 residual) and the
+    # pair-free CDF form ABOVE it (no pair-level join survives — the
+    # only window/joins there run over the |brands| x |sizes| domain),
+    # and NEITHER branch may ever plan a BroadcastNestedLoopJoin.
+    import re
+
+    from dask_lambda_example_spark.operators.joins import (
+        theta_range_agg_auto)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    naive = physical_plan(theta_range_agg_auto(spark, sf_dir))
+    assert re.search(r"sz1#\d+ < sz2#\d+", naive), naive[:2000]
+    assert "BroadcastNestedLoopJoin" not in naive, naive[:2000]
+
+    scale = physical_plan(theta_range_agg_auto(spark, sf_dir,
+                                               max_enum_rows=0))
+    assert "sz1" not in scale, scale[:2000]
+    assert "BroadcastNestedLoopJoin" not in scale, scale[:2000]
+    assert "Window" in scale, scale[:2000]
+
+    # and the two formulations agree row-for-row (zero-pair brands
+    # included -- the enum branch restores them via the brand domain)
+    a = {tuple(r) for r in
+         theta_range_agg_auto(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         theta_range_agg_auto(spark, sf_dir, max_enum_rows=0).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_band_binned_plan_shape(spark, sf_dir):
+    # The pair-list range join must reach the corpus through a bin
+    # equi-join (hash join on the bin id, probe side broadcast after
+    # the x3 bin explode) -- never a BroadcastNestedLoopJoin, which is
+    # what a bare |a-b| <= W predicate would plan.
+    import re
+
+    from dask_lambda_example_spark.operators.joins import join_band_binned
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(join_band_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert re.search(r"BroadcastHashJoin \[bin#\d+L?\]", plan), plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]
+
+
+def test_sim_search_auto_dispatch(spark, sf_dir):
+    # VERDICT r6 item 2: below the corpus-row threshold the dispatcher
+    # IS the exact brute-force search (no centroid build anywhere in
+    # the plan); above it the IVF pipeline must appear (the posexplode
+    # centroid aggregation) and the full-corpus scan-per-probe join
+    # must NOT -- the probe side joins the corpus only through the cell
+    # equi-key. Both branches keep the same output contract.
+    from dask_lambda_example_spark.operators.similarity import (
+        TOP_K, sim_search_auto_impl)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    naive_df = sim_search_auto_impl(spark, sf_dir)
+    naive = physical_plan(naive_df)
+    assert "posexplode" not in naive, naive[:2000]
+
+    scale_df = sim_search_auto_impl(spark, sf_dir, max_exact_rows=0)
+    scale = physical_plan(scale_df)
+    assert "posexplode" in scale, scale[:2000]
+
+    # same column contract, same k, on both sides of the threshold
+    assert scale_df.columns == naive_df.columns
+    ranks = [r.rank for r in scale_df.select("rank").collect()]
+    assert ranks and max(ranks) <= TOP_K

@@ -40,10 +40,11 @@ PARTITION_WIDTHS = (8, 32)
 MAX_FILES_PER_TRIGGER = 2  # backlog slicing: sf1 -> ~5 batches
 
 
-def _run_to_completion(df, output_mode: str, files_per_trigger: int | None):
+def _run_to_completion(df, output_mode: str):
     """Start an AvailableNow query on ``df``, wait, and distill the
     progress telemetry. The caller builds the stream with
-    ``events_stream`` so both disk layouts work."""
+    ``events_stream`` (backlog slicing included) so both disk layouts
+    work."""
     from dask_lambda_example_spark.streaming.pipeline import _mem_table
 
     table = _mem_table("audit")
@@ -89,19 +90,8 @@ def ingest_query(spark, sf_dir: str):
 
     from dask_lambda_example_spark.streaming.pipeline import events_stream
 
-    src = events_stream(spark, sf_dir)
-    tbl = f"{sf_dir}/events.parquet"
-    if os.path.isdir(tbl):  # slice the backlog into micro-batches
-        src = (spark.readStream.schema(
-            spark.read.parquet(tbl).schema)
-            .option("maxFilesPerTrigger", str(MAX_FILES_PER_TRIGGER))
-            .parquet(tbl))
-        ts_type = dict(src.dtypes).get("ts")
-        if ts_type == "bigint":
-            src = src.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events_stream(spark, sf_dir,
+                        files_per_trigger=MAX_FILES_PER_TRIGGER)
     return (src.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n"),
@@ -116,12 +106,14 @@ def join_query(spark, sf_dir: str):
 
     from dask_lambda_example_spark.streaming.pipeline import events_stream
 
-    views = (events_stream(spark, sf_dir)
+    views = (events_stream(spark, sf_dir,
+                           files_per_trigger=MAX_FILES_PER_TRIGGER)
              .filter(F.col("event_type") == "view")
              .select("user_id", F.col("event_id").alias("view_id"),
                      F.col("ts").alias("view_ts"))
              .withWatermark("view_ts", "2 hours"))
-    clicks = (events_stream(spark, sf_dir)
+    clicks = (events_stream(spark, sf_dir,
+                            files_per_trigger=MAX_FILES_PER_TRIGGER)
               .filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user_id"),
                       F.col("event_id").alias("click_id"),
@@ -161,8 +153,7 @@ def main() -> int:
                 for audit, builder, mode in (
                         ("ingest_backlog", ingest_query, "complete"),
                         ("stream_stream_join", join_query, "append")):
-                    m = _run_to_completion(
-                        builder(spark, sf_dir), mode, MAX_FILES_PER_TRIGGER)
+                    m = _run_to_completion(builder(spark, sf_dir), mode)
                     rec = {"audit": audit, "sf": tag,
                            "partitions": width, **m}
                     results.append(rec)
