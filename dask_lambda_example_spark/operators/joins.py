@@ -280,16 +280,19 @@ def join_range_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose scale-safe twin was not selected by any dispatcher)
 # ---------------------------------------------------------------------------
 
-# Above this many part rows the enumerate-then-count formulation stops
-# being acceptable: its cost is Ω(pairs) and the pair count grows
-# super-linearly when both sides scale (round-6 campaign measured 16.3×
-# at the 100× step even probe-capped). 5e6 rows keeps the enumerated
-# intermediate under ~10⁸ pairs at TPC-H brand/size selectivity — the
-# last scale where enumeration finishes in the same ballpark as the
-# CDF form's two extra tiny shuffles. Same knob family as
-# ROLL_NAIVE_MAX_ROWS; row count from parquet footer metadata (no job
-# at plan-construction time).
-THETA_ENUM_MAX_ROWS = 5_000_000
+# The enumerating branch's cost is Ω(pairs), and pairs grow
+# QUADRATICALLY with the input (both join sides scale together), so a
+# raw row threshold is the wrong shape for this dispatcher — the first
+# r7 measurement proved it: 2M part rows sat under a 5M row knob and
+# enumerated ~6·10⁹ pairs (53 s at sf10, 18× growth at the 10× step).
+# Dispatch on the estimated OUTPUT instead: rows² × the predicate's own
+# selectivity fractions (at 100 TB the same estimate comes from column
+# histograms/NDV in the catalog). 10⁸ pairs ≈ a couple of seconds of
+# hash-join output at local[32] — the last scale where enumeration
+# finishes in the same ballpark as the CDF form's two tiny shuffles.
+THETA_ENUM_MAX_PAIRS = 100_000_000
+_THETA_SMALL_FRAC = 2 / 50   # p_size <= 2 on the uniform 1..50 domain
+_THETA_BRAND_FRAC = 1 / 25   # equi-prefix: pairs form within one brand
 
 def _theta_agg_oracle() -> str:
     """The dispatcher's contract is the CDF sibling's oracle verbatim:
@@ -325,18 +328,22 @@ def _theta_range_agg_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def theta_range_agg_auto(spark: SparkSession, sf_dir: str,
-                         max_enum_rows: int = THETA_ENUM_MAX_ROWS
+                         max_enum_pairs: float = THETA_ENUM_MAX_PAIRS
                          ) -> DataFrame:
-    """Size-dispatched range-join aggregation: enumerate-then-count
-    below the row threshold (lowest constant factor on small inputs),
-    the pair-free CDF formulation (``join_range_cdf_agg``, 1.9× growth
-    at the round-6 100× step vs 16.3× enumerating) above it — "never
-    enumerate pairs you are about to count" enforced by dispatch
-    instead of a docstring. Row count from parquet footer metadata, no
-    job at plan-construction time."""
+    """Output-estimate-dispatched range-join aggregation:
+    enumerate-then-count below the estimated-pair threshold (lowest
+    constant factor on small inputs), the pair-free CDF formulation
+    (``join_range_cdf_agg``, 1.9× growth at the round-6 100× step vs
+    16.3× enumerating) above it — "never enumerate pairs you are about
+    to count" enforced by dispatch instead of a docstring. The
+    estimate is rows² × the predicate's selectivity fractions; row
+    count from parquet footer metadata, no job at plan-construction
+    time."""
     from dask_lambda_example_spark.io import parquet_rowcount
 
-    if parquet_rowcount(sf_dir, "part") <= max_enum_rows:
+    n = parquet_rowcount(sf_dir, "part")
+    est_pairs = n * n * _THETA_SMALL_FRAC * _THETA_BRAND_FRAC
+    if est_pairs <= max_enum_pairs:
         return _theta_range_agg_enum(spark, sf_dir)
     return join_range_cdf_agg(spark, sf_dir)
 

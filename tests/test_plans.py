@@ -638,7 +638,7 @@ def test_theta_auto_dispatch(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in naive, naive[:2000]
 
     scale = physical_plan(theta_range_agg_auto(spark, sf_dir,
-                                               max_enum_rows=0))
+                                               max_enum_pairs=0))
     assert "sz1" not in scale, scale[:2000]
     assert "BroadcastNestedLoopJoin" not in scale, scale[:2000]
     assert "Window" in scale, scale[:2000]
@@ -648,7 +648,7 @@ def test_theta_auto_dispatch(spark, sf_dir):
     a = {tuple(r) for r in
          theta_range_agg_auto(spark, sf_dir).collect()}
     b = {tuple(r) for r in
-         theta_range_agg_auto(spark, sf_dir, max_enum_rows=0).collect()}
+         theta_range_agg_auto(spark, sf_dir, max_enum_pairs=0).collect()}
     assert a == b and len(a) > 0
 
 
