@@ -1062,3 +1062,86 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(cos, 6).alias("cos"),
                 F.col("b.vec_id").alias("drop_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated n-gram spans (exact-substring-style boilerplate detection)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5  # tokens per span — the classic exact-substring dedup unit
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+    WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents),
+    idx AS (SELECT doc_id, a,
+                   unnest(generate_series(1, len(a) - {SPAN_N - 1})) AS i
+            FROM arrs),
+    ng AS (SELECT doc_id, array_to_string(a[i:i+{SPAN_N - 1}], ' ') AS ngram
+           FROM idx),
+    df AS (SELECT ngram, count(DISTINCT doc_id) AS ndocs
+           FROM ng GROUP BY 1),
+    per_doc AS (
+        SELECT ng.doc_id,
+               count(*) AS n_ngrams,
+               CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repeated
+        FROM ng JOIN df USING (ngram) GROUP BY ng.doc_id)
+    SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, n_repeated,
+           round(CAST(n_repeated AS DOUBLE) / n_ngrams, 6) AS repeated_frac
+    FROM per_doc
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus repeated-span detection, the exact-substring dedup
+    family (boilerplate headers, license blocks, templated text):
+    every {n}-token span of every document, scored by whether the SAME
+    span occurs in at least one OTHER document; per doc, the count and
+    fraction of corpus-repeated spans. A doc with repeated_frac 1.0 is
+    wholly assembled from text that exists elsewhere — exactly the
+    signal substring-level dedup cuts on, one level finer than
+    ``dedup_chunk_exact`` (fixed chunks) and cheaper than suffix-array
+    machinery.
+
+    Scale shape: span construction is an array HOF over the token
+    array (``transform`` + ``slice`` — no shuffle, no Python); span
+    document-frequency is ONE hash shuffle on the span string with
+    map-side combine (repeated spans collapse early — they are the
+    interesting ones); the per-doc rollup joins spans to their df on
+    the same key, so AQE reuses the partitioning. Work is O(total
+    tokens), never O(docs²). At 100 TB, group on ``xxhash64(span)``
+    instead of the string to shrink the shuffle (the string form here
+    keeps the DuckDB oracle bit-identical); df tables are never
+    broadcast — span vocabulary grows with the corpus.
+
+    Reference anchor: the arbitrary-dataframe-compute contract
+    (``layer/python/dask_processing.py:26-27``); no dedup exists in the
+    reference itself."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    n = SPAN_N
+    ng = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("a"))
+        .filter(F.size("a") >= n)
+        .select("doc_id", F.explode(F.expr(
+            f"transform(sequence(1, size(a) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(a, i, {n})))")).alias("ngram"))
+    )
+    df = ng.groupBy("ngram").agg(
+        F.countDistinct("doc_id").alias("ndocs"))
+    per_doc = (
+        ng.join(df, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_ngrams"),
+             F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+             .cast("long").alias("n_repeated"))
+    )
+    return per_doc.select(
+        "doc_id", "n_ngrams", "n_repeated",
+        F.round(F.col("n_repeated") / F.col("n_ngrams"), 6)
+        .alias("repeated_frac"))
+
+
+dedup_repeated_ngram_spans.__doc__ = (
+    dedup_repeated_ngram_spans.__doc__.format(n=SPAN_N))

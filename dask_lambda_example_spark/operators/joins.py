@@ -376,6 +376,32 @@ BAND_W = 2.0
 BAND_PROBE_CAP = 200
 
 
+def binned_band_join(probes: DataFrame, corpus: DataFrame,
+                     key_a: str, val_a: str, key_b: str, val_b: str,
+                     w: float) -> DataFrame:
+    """Generic binned band join: all (probe, corpus) pairs with
+    ``|val_b − val_a| ≤ w`` and ``key_a ≠ key_b``, expressed as a hash
+    join on ``floor(val / w)`` bin ids (probe rows explode into their
+    bin and both neighbors — w ≤ bin width guarantees any partner
+    within the band sits in one of those three) with the exact band
+    predicate as a residual. Never plans a BroadcastNestedLoopJoin.
+    Completeness of the 3-bin candidate set is property-tested against
+    brute force (``tests/test_property_bandjoin.py``)."""
+    bin_p = F.floor(F.col(val_a) / w).cast("long")
+    bprobes = probes.select(
+        key_a, val_a,
+        F.explode(F.array(bin_p - 1, bin_p, bin_p + 1)).alias("__bin"))
+    bcorpus = corpus.select(
+        key_b, val_b,
+        F.floor(F.col(val_b) / w).cast("long").alias("__bin"))
+    return (
+        F.broadcast(bprobes).join(bcorpus, "__bin")
+        .filter((F.abs(F.col(val_b) - F.col(val_a)) <= w)
+                & (F.col(key_a) != F.col(key_b)))
+        .drop("__bin")
+    )
+
+
 @query(
     "join_band_binned",
     oracle=f"""
@@ -402,19 +428,14 @@ def join_band_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the nested-loop path at 100 TB (VERDICT r6 item 1)."""
     p = load_table(spark, sf_dir, "part").select("p_partkey",
                                                  "p_retailprice")
-    bin_id = F.floor(F.col("p_retailprice") / BAND_W).cast("long")
     probes = (p.filter(F.col("p_partkey") <= BAND_PROBE_CAP)
               .select(F.col("p_partkey").alias("pk_a"),
-                      F.col("p_retailprice").alias("price_a"),
-                      F.explode(F.array(bin_id - 1, bin_id, bin_id + 1))
-                      .alias("bin")))
+                      F.col("p_retailprice").alias("price_a")))
     corpus = p.select(F.col("p_partkey").alias("pk_b"),
-                      F.col("p_retailprice").alias("price_b"),
-                      bin_id.alias("bin"))
+                      F.col("p_retailprice").alias("price_b"))
     return (
-        F.broadcast(probes).join(corpus, "bin")
-        .filter((F.abs(F.col("price_b") - F.col("price_a")) <= BAND_W)
-                & (F.col("pk_a") != F.col("pk_b")))
+        binned_band_join(probes, corpus, "pk_a", "price_a",
+                         "pk_b", "price_b", BAND_W)
         .select("pk_a", "pk_b",
                 F.round(F.col("price_b") - F.col("price_a"), 6)
                 .alias("price_gap"))

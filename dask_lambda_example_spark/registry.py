@@ -83,6 +83,9 @@ PRIORITY_QUERIES = (
     # (exact brute force vs IVF multiprobe) — plus the binned band join
     # that keeps PAIR-LIST range joins off BroadcastNestedLoop
     "join_theta_auto", "join_band_binned", "sim_search_auto",
+    # round-7 new: exact-substring-style repeated-span detection (the
+    # boilerplate signal one level finer than chunk dedup)
+    "dedup_repeated_ngram_spans",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;

@@ -664,7 +664,7 @@ def test_band_binned_plan_shape(spark, sf_dir):
 
     plan = physical_plan(join_band_binned(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert re.search(r"BroadcastHashJoin \[bin#\d+L?\]", plan), plan[:2000]
+    assert re.search(r"BroadcastHashJoin \[__bin#\d+L?\]", plan), plan[:2000]
     assert "Generate explode" in plan, plan[:2000]
 
 
