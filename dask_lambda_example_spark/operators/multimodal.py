@@ -11,11 +11,16 @@ Spark-side design (all real and tested):
   ``mapInPandas`` over the binary column (batch shape: one pandas
   DataFrame of N binary cells per Arrow batch).
 
-The actual image/audio decode is STUBBED (`decode_image_stub`) — the
-codec libraries are not in this container; the stub raises
-``NotImplementedError`` unless given the deterministic fake header it
-documents. The Spark plumbing around it (schema, partitioning, UDF
-signature, batch shape) is the real deliverable and is oracle-checked.
+Decode status by modality:
+- **audio: REAL.** ``mm_decode_wav_audio`` parses genuine RIFF/WAVE PCM
+  files with the stdlib ``wave`` module (a real container/codec parser —
+  chunk walk, fmt header, PCM frames) and recovers rate/width/frames/
+  amplitude stats, value-checked against an analytic oracle. No stub.
+- **image/video: STUBBED** (`decode_image_stub`) — PIL/ffmpeg-class
+  codec libraries are not in this container; the stub raises
+  ``NotImplementedError`` unless given the deterministic fake header it
+  documents. The Spark plumbing around it (schema, partitioning, UDF
+  signature, batch shape) is the real deliverable and is oracle-checked.
 
 Scale posture: binary payloads never shuffle here — metadata extraction
 is projection-only; at 100 TB the rule is: push bytes through
@@ -311,3 +316,147 @@ def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mm_resize_downsample.__doc__ = mm_resize_downsample.__doc__.format(w=IMG_W)
+
+
+WAV_SAMPLE_EVERY = 20   # decode every 20th document's clip
+
+
+def make_wav_bytes(doc_id: int) -> bytes:
+    """Build a REAL RIFF/WAVE PCM file (stdlib ``wave`` writer) whose
+    content is a deterministic function of ``doc_id`` — int16 mono
+    square wave alternating +amp/-amp, so peak == RMS == amp exactly
+    and the oracle can recompute every decoded stat analytically:
+
+    - sample_rate  = (8000, 11025, 16000)[doc_id % 3]
+    - n_frames     = 256 + (doc_id % 32) * 16     (always even)
+    - amp          = 1000 + (doc_id % 7) * 500
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    rate = (8000, 11025, 16000)[doc_id % 3]
+    n_frames = 256 + (doc_id % 32) * 16
+    amp = 1000 + (doc_id % 7) * 500
+    pcm = np.empty(n_frames, dtype="<i2")
+    pcm[0::2] = amp
+    pcm[1::2] = -amp
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@query(
+    "mm_decode_wav_audio",
+    oracle=f"""
+    SELECT doc_id,
+           1 AS n_channels,
+           2 AS sample_width,
+           CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                ELSE 16000 END                          AS sample_rate,
+           256 + (doc_id % 32) * 16                     AS n_frames,
+           CAST(256 + (doc_id % 32) * 16 AS DOUBLE)
+             / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                     ELSE 16000 END)                    AS duration_s,
+           1000 + (doc_id % 7) * 500                    AS peak,
+           1000 + (doc_id % 7) * 500                    AS rms
+    FROM documents
+    WHERE doc_id % {WAV_SAMPLE_EVERY} = 0
+    """,
+)
+def mm_decode_wav_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — no stub. Stage 1 synthesizes genuine RIFF/
+    WAVE PCM files (stdlib ``wave`` writer; see ``make_wav_bytes``) as
+    a binary column; stage 2 DECODES them with the stdlib ``wave``
+    reader — an actual container parser that walks the RIFF chunk list
+    and the fmt header — then computes amplitude stats over the PCM
+    frames with numpy. Both stages are Arrow-batched ``mapInPandas``
+    passes; bytes cross into Python once per stage and never shuffle
+    (only the typed features leave).
+
+    The synthetic waveform is a ±amp square wave, so peak == RMS == amp
+    EXACTLY (integers) and duration is an IEEE-exact int/int division —
+    every decoded column is value-checked against the analytic oracle.
+    At 100 TB the same two-pass shape holds: decode is a narrow map over
+    the binary source partitions (no shuffle), and the stats aggregate
+    is partial-agg friendly.
+
+    Reference parity anchor: the reference treats payloads as opaque
+    bytes end-to-end (src/lambda_consumer.py); this op is the §2.C
+    extension where the engine must look INSIDE real media bytes."""
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % WAV_SAMPLE_EVERY == 0)
+         .select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained restatement of make_wav_bytes (nested fns ship
+        # by value; workers need no import of this package).
+        import io
+        import wave
+
+        import numpy as np
+
+        def wav_bytes(doc_id: int) -> bytes:
+            rate = (8000, 11025, 16000)[doc_id % 3]
+            n_frames = 256 + (doc_id % 32) * 16
+            amp = 1000 + (doc_id % 7) * 500
+            pcm = np.empty(n_frames, dtype="<i2")
+            pcm[0::2] = amp
+            pcm[1::2] = -amp
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "wav": [wav_bytes(int(i)) for i in pdf["doc_id"]],
+            })
+
+    clips = d.mapInPandas(synth, "doc_id long, wav binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_channels", "sample_width",
+                                    "sample_rate", "n_frames", "duration_s",
+                                    "peak", "rms")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(raw)), "rb") as w:
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2"
+                                        ).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_width"].append(width)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n)
+                rows["duration_s"].append(n / rate)
+                rows["peak"].append(int(np.max(np.abs(pcm))))
+                # ±amp square wave → mean(pcm²) = amp² is a perfect
+                # square; sqrt is float-exact for amp « 2^26.
+                rows["rms"].append(
+                    int(round(float(np.sqrt(np.mean(pcm * pcm))))))
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        decode,
+        "doc_id long, n_channels int, sample_width int, sample_rate int, "
+        "n_frames int, duration_s double, peak int, rms int")

@@ -82,6 +82,32 @@ def test_decode_stub_seam():
         decode_image_stub(b"\x89PNG\r\n\x1a\n....")
 
 
+def test_wav_bytes_are_real_riff_and_roundtrip():
+    # The audio path is a REAL decode (stdlib wave RIFF parser), not a
+    # stub: the synthesized payload must be a genuine WAV file — RIFF
+    # container magic, WAVE form type — and the wave reader must
+    # recover exactly the parameters make_wav_bytes encoded.
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from dask_lambda_example_spark.operators.multimodal import make_wav_bytes
+
+    for doc_id in (0, 7, 41, 123):
+        raw = make_wav_bytes(doc_id)
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        with wavemod.open(io.BytesIO(raw), "rb") as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == (8000, 11025, 16000)[doc_id % 3]
+            n = w.getnframes()
+            assert n == 256 + (doc_id % 32) * 16
+            pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+        amp = 1000 + (doc_id % 7) * 500
+        assert int(pcm.max()) == amp and int(pcm.min()) == -amp
+
+
 def test_observe_collects_metrics_inline(spark, sf_dir):
     # df.observe(): pipeline health metrics ride the job itself — no
     # second pass over the data for row counts / null rates at 100 TB
