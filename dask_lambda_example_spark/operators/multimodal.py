@@ -16,11 +16,15 @@ Decode status by modality:
   files with the stdlib ``wave`` module (a real container/codec parser —
   chunk walk, fmt header, PCM frames) and recovers rate/width/frames/
   amplitude stats, value-checked against an analytic oracle. No stub.
-- **image/video: STUBBED** (`decode_image_stub`) — PIL/ffmpeg-class
-  codec libraries are not in this container; the stub raises
-  ``NotImplementedError`` unless given the deterministic fake header it
-  documents. The Spark plumbing around it (schema, partitioning, UDF
-  signature, batch shape) is the real deliverable and is oracle-checked.
+- **image: REAL for PNG.** ``mm_decode_png_image`` decodes genuine PNG
+  files end to end with stdlib ``zlib`` — signature check, chunk walk
+  with CRC-32 verification, IDAT inflate, and the full five-filter
+  per-row unfilter (None/Sub/Up/Average/Paeth) — value-checked against
+  an analytic pixel oracle. JPEG-class codecs stay behind
+  `decode_image_stub` (DCT libraries absent from this container).
+- **video: STUBBED** — ffmpeg-class libraries are not in this
+  container; the frame-sampling plumbing (`mm_frame_sample`) is real
+  and value-checked, the codec seam raises ``NotImplementedError``.
 
 Scale posture: binary payloads never shuffle here — metadata extraction
 is projection-only; at 100 TB the rule is: push bytes through
@@ -460,3 +464,210 @@ def mm_decode_wav_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id long, n_channels int, sample_width int, sample_rate int, "
         "n_frames int, duration_s double, peak int, rms int")
+
+
+PNG_W, PNG_H = 24, 16          # synthetic grayscale image dimensions
+PNG_SAMPLE_EVERY = 25          # decode every 25th document's image
+
+
+def make_png_bytes(doc_id: int) -> bytes:
+    """Build a REAL PNG file (8-bit grayscale) whose pixels are the
+    deterministic grid pixel(r,c) = (doc_id*31 + r*13 + c*7) mod 251 —
+    the same arithmetic `mm_resize_downsample` uses, so the oracle can
+    recompute every pixel. The encoder exercises ALL FIVE PNG row
+    filters (row r uses filter r mod 5: None/Sub/Up/Average/Paeth), so
+    the decoder's unfilter path is fully covered, and each chunk
+    carries its genuine CRC-32."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    W, H = PNG_W, PNG_H
+    grid = [[(doc_id * 31 + r * 13 + c * 7) % 251 for c in range(W)]
+            for r in range(H)]
+    raw = bytearray()
+    for r in range(H):
+        ft = r % 5
+        raw.append(ft)
+        up = grid[r - 1] if r > 0 else [0] * W
+        for c in range(W):
+            x = grid[r][c]
+            left = grid[r][c - 1] if c > 0 else 0
+            ul = up[c - 1] if c > 0 else 0
+            if ft == 0:
+                enc = x
+            elif ft == 1:                      # Sub
+                enc = x - left
+            elif ft == 2:                      # Up
+                enc = x - up[c]
+            elif ft == 3:                      # Average
+                enc = x - (left + up[c]) // 2
+            else:                              # Paeth
+                p = left + up[c] - ul
+                pa, pb, pc = abs(p - left), abs(p - up[c]), abs(p - ul)
+                pred = (left if pa <= pb and pa <= pc
+                        else (up[c] if pb <= pc else ul))
+                enc = x - pred
+            raw.append(enc & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_gray8(raw: bytes):
+    """REAL PNG decoder for 8-bit grayscale, stdlib-only: signature
+    check, chunk walk with CRC-32 verification on every chunk, IDAT
+    inflate (multi-IDAT concatenation per spec), and the full
+    five-filter per-row reconstruction (None/Sub/Up/Average/Paeth,
+    PNG spec §6). Returns (width, height, bit_depth, color_type,
+    ndarray[H,W] of int64 pixels). Raises ValueError on a corrupt
+    signature, CRC mismatch, or an unsupported color mode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, b""
+    W = H = bd = ct = None
+    while pos + 12 <= len(raw):
+        (ln,) = struct.unpack(">I", raw[pos:pos + 4])
+        tag = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + ln:pos + 12 + ln])
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            W, H, bd, ct, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+            if (bd, ct, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                raise ValueError("only 8-bit non-interlaced grayscale supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    dec = zlib.decompress(idat)
+    if len(dec) != H * (W + 1):
+        raise ValueError("decompressed length mismatch")
+    out = np.zeros((H, W), dtype=np.int64)
+    prev = np.zeros(W, dtype=np.int64)
+    p = 0
+    for r in range(H):
+        ft = dec[p]
+        row = np.frombuffer(dec[p + 1:p + 1 + W], dtype=np.uint8
+                            ).astype(np.int64)
+        p += 1 + W
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        else:
+            cur = np.zeros(W, dtype=np.int64)
+            for c in range(W):
+                left = cur[c - 1] if c > 0 else 0
+                up = prev[c]
+                ul = prev[c - 1] if c > 0 else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                elif ft == 4:
+                    q = left + up - ul
+                    pa, pb, pc = abs(q - left), abs(q - up), abs(q - ul)
+                    pred = (left if pa <= pb and pa <= pc
+                            else (up if pb <= pc else ul))
+                else:
+                    raise ValueError(f"unknown filter type {ft}")
+                cur[c] = (row[c] + pred) & 0xFF
+        out[r] = cur
+        prev = cur
+    return W, H, bd, ct, out
+
+
+@query(
+    "mm_decode_png_image",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id, r.r, c.c,
+               (d.doc_id * 31 + r.r * 13 + c.c * 7) % 251 AS p
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {PNG_H - 1})) AS r) r,
+             (SELECT unnest(generate_series(0, {PNG_W - 1})) AS c) c
+        WHERE d.doc_id % {PNG_SAMPLE_EVERY} = 0)
+    SELECT doc_id,
+           {PNG_W} AS width, {PNG_H} AS height,
+           8 AS bit_depth, 0 AS color_type,
+           CAST(SUM(p) AS BIGINT)                          AS pixel_sum,
+           CAST(MIN(p) AS INT)                             AS pixel_min,
+           CAST(MAX(p) AS INT)                             AS pixel_max,
+           CAST(SUM(p * (r * {PNG_W} + c + 1)) AS BIGINT)  AS pixel_weighted
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def mm_decode_png_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode — no stub. Stage 1 synthesizes genuine PNG
+    files (all five row filters, real CRCs, zlib-deflated IDAT; see
+    ``make_png_bytes``) as a binary column; stage 2 DECODES them with
+    ``decode_png_gray8`` — an actual PNG decoder: signature, chunk
+    walk with CRC-32 verification, inflate, and full five-filter row
+    reconstruction including Paeth prediction. Both stages are
+    Arrow-batched ``mapInPandas`` passes; bytes never shuffle — only
+    per-image header fields and pixel aggregates (sum/min/max and a
+    position-weighted sum, which pins every pixel to its coordinate)
+    leave the decode pass, and the analytic oracle recomputes each
+    from the generating arithmetic.
+
+    Scale: identical posture to the WAV path — two narrow map passes,
+    shuffle-free until a consumer aggregates the features; at 100 TB
+    cost is linear in sampled image bytes."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % PNG_SAMPLE_EVERY == 0)
+         .select("doc_id"))
+
+    # Ship the codec pair by value (workers import nothing): re-bind the
+    # module-level fns as defaults so cloudpickle serializes them.
+    def synth(batches: Iterator[pd.DataFrame], _enc=make_png_bytes
+              ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "png": [_enc(int(i)) for i in pdf["doc_id"]],
+            })
+
+    clips = d.mapInPandas(synth, "doc_id long, png binary")
+
+    def decode(batches: Iterator[pd.DataFrame], _dec=decode_png_gray8
+               ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "bit_depth", "color_type", "pixel_sum",
+                                    "pixel_min", "pixel_max",
+                                    "pixel_weighted")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["png"]):
+                w, h, bd, ct, grid = _dec(bytes(raw))
+                weights = np.arange(1, w * h + 1, dtype=np.int64
+                                    ).reshape(h, w)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(bd)
+                rows["color_type"].append(ct)
+                rows["pixel_sum"].append(int(grid.sum()))
+                rows["pixel_min"].append(int(grid.min()))
+                rows["pixel_max"].append(int(grid.max()))
+                rows["pixel_weighted"].append(int((grid * weights).sum()))
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, bit_depth int, color_type int, "
+        "pixel_sum long, pixel_min int, pixel_max int, pixel_weighted long")

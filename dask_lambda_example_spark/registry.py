@@ -86,10 +86,12 @@ PRIORITY_QUERIES = (
     # round-7 new: exact-substring-style repeated-span detection (the
     # boilerplate signal one level finer than chunk dedup)
     "dedup_repeated_ngram_spans",
-    # round-7 new: REAL audio decode (stdlib wave RIFF/PCM parser) —
-    # upgrades the media-decode component from stub to real for the
-    # audio modality, analytically oracle-gated
-    "mm_decode_wav_audio",
+    # round-7 new: REAL media decode (stdlib-only codecs) — upgrades
+    # the media-decode component from stub to real for audio (wave
+    # RIFF/PCM parser) and image (full PNG decoder: CRC-verified chunk
+    # walk, inflate, five-filter unfilter), both analytically
+    # oracle-gated
+    "mm_decode_wav_audio", "mm_decode_png_image",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;

@@ -108,6 +108,36 @@ def test_wav_bytes_are_real_riff_and_roundtrip():
         assert int(pcm.max()) == amp and int(pcm.min()) == -amp
 
 
+def test_png_decoder_is_real_and_rejects_corruption():
+    # The image path is a REAL PNG decode: every pixel round-trips
+    # through zlib-deflate + all five PNG row filters, and the chunk
+    # walk verifies CRC-32 — a flipped payload byte must be caught.
+    import numpy as np
+
+    from dask_lambda_example_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        decode_png_gray8,
+        make_png_bytes,
+    )
+
+    for doc_id in (0, 13, 99):  # >= PNG_H rows → all 5 filters exercised
+        raw = make_png_bytes(doc_id)
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, bd, ct, grid = decode_png_gray8(raw)
+        assert (w, h, bd, ct) == (PNG_W, PNG_H, 8, 0)
+        exp = np.array([[(doc_id * 31 + r * 13 + c * 7) % 251
+                         for c in range(PNG_W)] for r in range(PNG_H)])
+        assert (grid == exp).all()
+
+    raw = bytearray(make_png_bytes(7))
+    raw[60] ^= 0xFF  # corrupt one IDAT byte → CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(raw))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_gray8(b"GIF89a....")
+
+
 def test_observe_collects_metrics_inline(spark, sf_dir):
     # df.observe(): pipeline health metrics ride the job itself — no
     # second pass over the data for row counts / null rates at 100 TB
