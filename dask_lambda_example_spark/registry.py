@@ -88,10 +88,11 @@ PRIORITY_QUERIES = (
     "dedup_repeated_ngram_spans",
     # round-7 new: REAL media decode (stdlib-only codecs) — upgrades
     # the media-decode component from stub to real for audio (wave
-    # RIFF/PCM parser) and image (full PNG decoder: CRC-verified chunk
-    # walk, inflate, five-filter unfilter), both analytically
-    # oracle-gated
-    "mm_decode_wav_audio", "mm_decode_png_image",
+    # RIFF/PCM parser), image (full PNG decoder: CRC-verified chunk
+    # walk, inflate, five-filter unfilter), and the video container
+    # layer (AVI/RIFF demux with header/stream cross-check); all
+    # analytically oracle-gated
+    "mm_decode_wav_audio", "mm_decode_png_image", "mm_demux_avi_frames",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;

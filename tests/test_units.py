@@ -138,6 +138,39 @@ def test_png_decoder_is_real_and_rejects_corruption():
         decode_png_gray8(b"GIF89a....")
 
 
+def test_avi_demux_is_real_and_cross_checks_headers():
+    # The video-container layer is a REAL RIFF demux: genuine AVI
+    # magic, headers read from avih/strf, frames from movi — and the
+    # demuxer must catch a header/stream frame-count disagreement.
+    import struct
+
+    from dask_lambda_example_spark.operators.multimodal import (
+        AVI_H,
+        AVI_N_FRAMES,
+        AVI_W,
+        demux_avi_frames,
+        make_avi_bytes,
+    )
+
+    raw = make_avi_bytes(42)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    w, h, n, frames = demux_avi_frames(raw)
+    assert (w, h, n) == (AVI_W, AVI_H, AVI_N_FRAMES)
+    for f in (0, AVI_N_FRAMES - 1):
+        exp = bytes((42 * 31 + f * 17 + r * 13 + c * 7) % 251
+                    for r in range(AVI_H) for c in range(AVI_W))
+        assert frames[f] == exp
+
+    with pytest.raises(ValueError, match="magic"):
+        demux_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # lie about the frame count in avih → demux must notice
+    tampered = bytearray(raw)
+    pos = raw.index(b"avih") + 8 + 16  # dwTotalFrames field
+    struct.pack_into("<I", tampered, pos, AVI_N_FRAMES + 3)
+    with pytest.raises(ValueError, match="frames"):
+        demux_avi_frames(bytes(tampered))
+
+
 def test_observe_collects_metrics_inline(spark, sf_dir):
     # df.observe(): pipeline health metrics ride the job itself — no
     # second pass over the data for row counts / null rates at 100 TB
