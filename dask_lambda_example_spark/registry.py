@@ -66,8 +66,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~40 surplus
-# window slots (50 minus this curated head) auto-fill with the
+# whose implementation changed after their green row. The ~36 surplus
+# window slots (50 minus the 14-name curated head) auto-fill with the
 # STALEST-verified names — r2/r3 greens over code edited many times
 # since — regression detection (ADVICE r6 fixed the stale slot math in
 # this comment). tests/test_units.py::test_registry_priority_rotation
