@@ -16,19 +16,27 @@ Decode status by modality:
   files with the stdlib ``wave`` module (a real container/codec parser —
   chunk walk, fmt header, PCM frames) and recovers rate/width/frames/
   amplitude stats, value-checked against an analytic oracle. No stub.
-- **image: REAL for PNG.** ``mm_decode_png_image`` decodes genuine PNG
-  files end to end with stdlib ``zlib`` — signature check, chunk walk
-  with CRC-32 verification, IDAT inflate, and the full five-filter
-  per-row unfilter (None/Sub/Up/Average/Paeth) — value-checked against
-  an analytic pixel oracle. JPEG-class codecs stay behind
-  `decode_image_stub` (DCT libraries absent from this container).
-- **video: REAL container demux, codec env-gated.**
+- **image: REAL for PNG and baseline JPEG.** ``mm_decode_png_image``
+  decodes genuine PNG files end to end with stdlib ``zlib`` — signature
+  check, chunk walk with CRC-32 verification, IDAT inflate, and the full
+  five-filter per-row unfilter (None/Sub/Up/Average/Paeth) — value-
+  checked against an analytic pixel oracle. ``mm_decode_jpeg_image``
+  decodes genuine baseline JFIF files with the numpy-backed codec in
+  ``operators/jpegcodec.py`` — marker walk, DQT/DHT parse, canonical
+  Huffman entropy decode with ZRL/EOB and byte unstuffing, dequantize,
+  zigzag, 8x8 IDCT — coefficient pipeline value-checked bit-exactly
+  against an analytic oracle, DC-only blocks pixel-checked exactly,
+  full-AC pixels verified in unit tests against an independent IDCT.
+- **video: REAL container demux + REAL MJPEG frame decode.**
   ``mm_demux_avi_frames`` parses genuine AVI files with a stdlib RIFF
   tree walker — avih/strf headers, movi frame chunks, frame-count
   cross-check — and samples raw-DIB frames, value-checked against an
-  analytic oracle. Compressed-fourcc DECODE (ffmpeg-class) stays the
-  documented ``NotImplementedError`` seam inside the demuxer's
-  consumers; `mm_frame_sample` keeps the byte-slicing plumbing form.
+  analytic oracle. ``mm_demux_mjpeg_avi`` is the end-to-end compressed
+  path: an AVI with fourcc 'MJPG' whose '00dc' frames are genuine JPEGs,
+  demuxed then DCT-decoded per frame. Only inter-frame-predicted codecs
+  (H.264-class) remain out of scope — their entropy/codec state machines
+  need ffmpeg-class libraries absent from this container by contract;
+  `mm_frame_sample` keeps the byte-slicing plumbing form.
 
 Scale posture: binary payloads never shuffle here — metadata extraction
 is projection-only; at 100 TB the rule is: push bytes through
@@ -851,3 +859,303 @@ def mm_demux_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         demux,
         "doc_id long, frame_idx int, width int, height int, "
         "frame_sum long, frame_weighted long")
+
+
+JPG_W, JPG_H = 32, 24          # baseline-JPEG image dimensions (4x3 blocks)
+JPG_BLOCKS = (JPG_W // 8) * (JPG_H // 8)
+JPG_SAMPLE_EVERY = 25          # decode every 25th document's image
+
+# Shared SQL fragments for the analytic JPEG coefficient generators —
+# the single source of truth for both the fixture builder below and the
+# DuckDB oracles (seed is the doc-level or frame-level expression).
+_JPG_DCQ = "(({s}) * 7 + b.b * 5) % 21 - 10"
+_JPG_K1 = "1 + (({s}) + b.b) % 5"
+_JPG_A1 = "CASE WHEN (({s}) + b.b) % 4 = 0 THEN 0 ELSE (({s}) * 11 + b.b * 3) % 15 - 7 END"
+_JPG_K2 = "20 + (({s}) * 3 + b.b * 7) % 30"
+_JPG_A2 = "CASE WHEN (({s}) + b.b) % 4 = 0 THEN 0 ELSE (({s}) * 13 + b.b) % 9 - 4 END"
+
+
+def jpeg_coeff_blocks(seed: int):
+    """Analytic quantized-coefficient grid for one synthetic JPEG:
+    block b carries DC ((seed*7+b*5)%21-10), one low AC at zigzag
+    1+((seed+b)%5) and one high AC at 20+((seed*3+b*7)%30) (runs >= 16
+    between them exercise ZRL), EXCEPT every block with (seed+b)%4==0,
+    which is DC-ONLY — a flat block whose IDCT is exactly rational
+    (pixel = dcq*q0/8 + 128 = dcq*2 + 128 with the Annex-K q0=16), so
+    the SQL oracle can check the pixel path bit-exactly there."""
+    import numpy as np
+
+    blocks = np.zeros((JPG_BLOCKS, 64), dtype=np.int64)
+    for b in range(JPG_BLOCKS):
+        blocks[b, 0] = (seed * 7 + b * 5) % 21 - 10
+        if (seed + b) % 4 == 0:
+            continue                         # DC-only block
+        k1 = 1 + (seed + b) % 5
+        blocks[b, k1] = (seed * 11 + b * 3) % 15 - 7
+        k2 = 20 + (seed * 3 + b * 7) % 30
+        blocks[b, k2] = (seed * 13 + b) % 9 - 4
+    return blocks
+
+
+def make_jpeg_bytes(seed: int) -> bytes:
+    """Build a REAL baseline JFIF file (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
+    genuine canonical Huffman entropy coding with DC differential
+    coding, ZRL, EOB, and 0xFF byte stuffing) whose quantized
+    coefficients are ``jpeg_coeff_blocks(seed)``."""
+    from dask_lambda_example_spark.operators.jpegcodec import (
+        encode_jpeg_gray8,
+    )
+
+    return encode_jpeg_gray8(jpeg_coeff_blocks(seed), JPG_W, JPG_H)
+
+
+def _jpeg_frame_stats(zq, img, seed: int):
+    """Integer-exact per-image stats over decoded JPEG output: the
+    quantized-coefficient checksums (Huffman/run-length/zigzag/dequant
+    pipeline) plus the exact pixel sum over the DC-only blocks (IDCT +
+    level-shift + rounding pipeline on the rational-output blocks)."""
+    import numpy as np
+
+    nb = zq.shape[0]
+    binc = np.arange(1, nb + 1, dtype=np.int64)
+    kw = np.arange(64, dtype=np.int64)
+    dcq = zq[:, 0]
+    px_dc_sum = 0
+    bx = JPG_W // 8
+    for b in range(nb):
+        if (seed + b) % 4 == 0:
+            r0, c0 = (b // bx) * 8, (b % bx) * 8
+            px_dc_sum += int(img[r0:r0 + 8, c0:c0 + 8].sum())
+    return {
+        "dcq_sum": int(dcq.sum()),
+        "dcq_weighted": int((dcq * binc).sum()),
+        "acq_checksum": int((zq * kw).sum()),   # k=0 term weighs 0
+        "acq_nnz": int((zq[:, 1:] != 0).sum()),
+        "px_dc_sum": px_dc_sum,
+    }
+
+
+@query(
+    "mm_decode_jpeg_image",
+    oracle=f"""
+    WITH blk AS (
+        SELECT d.doc_id, b.b,
+               {_JPG_DCQ.format(s='d.doc_id')} AS dcq,
+               {_JPG_K1.format(s='d.doc_id')}  AS k1,
+               {_JPG_A1.format(s='d.doc_id')}  AS a1,
+               {_JPG_K2.format(s='d.doc_id')}  AS k2,
+               {_JPG_A2.format(s='d.doc_id')}  AS a2
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {JPG_BLOCKS - 1})) AS b) b
+        WHERE d.doc_id % {JPG_SAMPLE_EVERY} = 0)
+    SELECT doc_id, {JPG_W} AS width, {JPG_H} AS height,
+           {JPG_BLOCKS} AS n_blocks,
+           CAST(SUM(dcq) AS BIGINT)            AS dcq_sum,
+           CAST(SUM(dcq * (b + 1)) AS BIGINT)  AS dcq_weighted,
+           CAST(SUM(k1 * a1 + k2 * a2) AS BIGINT) AS acq_checksum,
+           CAST(SUM(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END
+                    + CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                               AS acq_nnz,
+           CAST(SUM(CASE WHEN (doc_id + b) % 4 = 0
+                         THEN 64 * (dcq * 2 + 128) ELSE 0 END) AS BIGINT)
+                                               AS px_dc_sum
+    FROM blk
+    GROUP BY doc_id
+    """,
+)
+def mm_decode_jpeg_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode — the DCT codec stub is gone. Stage 1
+    synthesizes genuine JFIF files (real canonical-Huffman entropy
+    coding: DC differential categories, AC run/size with ZRL and EOB,
+    byte stuffing; see ``make_jpeg_bytes``); stage 2 DECODES them with
+    ``jpegcodec.decode_jpeg_gray8`` — an actual baseline decoder:
+    marker walk, DQT/DHT parsed from the file, T.81 F.2.2.3 canonical
+    Huffman decode, dequantize, de-zigzag, numpy 8x8 IDCT, level shift,
+    clamp. Emitted columns split by exactness class: the coefficient
+    checksums (dcq_*, acq_*) pin the integer entropy pipeline
+    bit-exactly; ``px_dc_sum`` pins the IDCT+rounding pixel pipeline on
+    the DC-only blocks, whose flat IDCT output (dcq*2 + 128 under the
+    Annex-K table's q0=16) is exactly representable — so the DuckDB
+    oracle recomputes every column with zero float tolerance. Full-AC
+    pixel output is verified in tests/test_units.py against an
+    independent four-loop cosine IDCT.
+
+    Scale posture: identical to WAV/PNG — two narrow shuffle-free
+    mapInPandas passes; at 100 TB cost is linear in sampled image
+    bytes, exchange zero until a consumer aggregates the features."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % JPG_SAMPLE_EVERY == 0)
+         .select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame], _enc=make_jpeg_bytes
+              ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "jpg": [_enc(int(i)) for i in pdf["doc_id"]],
+            })
+
+    clips = d.mapInPandas(synth, "doc_id long, jpg binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dask_lambda_example_spark.operators.jpegcodec import (
+            decode_jpeg_gray8,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "n_blocks",
+                                    "dcq_sum", "dcq_weighted", "acq_checksum",
+                                    "acq_nnz", "px_dc_sum")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["jpg"]):
+                w, h, zq, img = decode_jpeg_gray8(bytes(raw))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append(zq.shape[0])
+                for k, v in _jpeg_frame_stats(zq, img, int(doc_id)).items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_blocks int, dcq_sum long, "
+        "dcq_weighted long, acq_checksum long, acq_nnz long, px_dc_sum long")
+
+
+MJPG_N_FRAMES = 6              # JPEG frames per synthetic MJPEG clip
+MJPG_SAMPLE_EVERY = 50         # build a clip for every 50th document
+
+
+def make_mjpeg_avi_bytes(doc_id: int) -> bytes:
+    """Build a REAL MJPEG AVI: the same RIFF 'AVI ' container shape as
+    ``make_avi_bytes`` but with fourcc 'MJPG' (strh handler AND strf
+    biCompression) and '00dc' compressed frame chunks whose payloads
+    are genuine baseline JFIF files — frame f's quantized coefficients
+    are ``jpeg_coeff_blocks(doc_id * 101 + f * 37)``."""
+    import struct
+
+    from dask_lambda_example_spark.operators.jpegcodec import (
+        encode_jpeg_gray8,
+    )
+
+    W, H, N = JPG_W, JPG_H, MJPG_N_FRAMES
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(data)) + data
+        return out + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    frames = [encode_jpeg_gray8(jpeg_coeff_blocks(doc_id * 101 + f * 37),
+                                W, H)
+              for f in range(N)]
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    avih = struct.pack("<14I", 40000, W * H * 25, 0, 0x10, N, 0, 1,
+                       W * H, W, H, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, 25, 0, N, W * H, 0, 0, 0, 0, W, H)
+    strf = struct.pack("<IiiHHIIiiII", 40, W, H, 1, 8, mjpg, W * H,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    idx_entries, off = [], 4
+    for fr in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(fr)))
+        off += 8 + len(fr) + (len(fr) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@query(
+    "mm_demux_mjpeg_avi",
+    oracle=f"""
+    WITH blk AS (
+        SELECT d.doc_id, f.f, b.b,
+               {_JPG_DCQ.format(s='d.doc_id * 101 + f.f * 37')} AS dcq,
+               {_JPG_K1.format(s='d.doc_id * 101 + f.f * 37')}  AS k1,
+               {_JPG_A1.format(s='d.doc_id * 101 + f.f * 37')}  AS a1,
+               {_JPG_K2.format(s='d.doc_id * 101 + f.f * 37')}  AS k2,
+               {_JPG_A2.format(s='d.doc_id * 101 + f.f * 37')}  AS a2
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {MJPG_N_FRAMES - 1})) AS f) f,
+             (SELECT unnest(generate_series(0, {JPG_BLOCKS - 1})) AS b) b
+        WHERE d.doc_id % {MJPG_SAMPLE_EVERY} = 0)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           {JPG_W} AS width, {JPG_H} AS height,
+           CAST(SUM(dcq) AS BIGINT)               AS dcq_sum,
+           CAST(SUM(k1 * a1 + k2 * a2) AS BIGINT) AS acq_checksum,
+           CAST(SUM(CASE WHEN a1 <> 0 THEN 1 ELSE 0 END
+                    + CASE WHEN a2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS acq_nnz,
+           CAST(SUM(CASE WHEN (doc_id * 101 + f * 37 + b) % 4 = 0
+                         THEN 64 * (dcq * 2 + 128) ELSE 0 END) AS BIGINT)
+                                                  AS px_dc_sum
+    FROM blk
+    GROUP BY doc_id, f
+    """,
+)
+def mm_demux_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compressed video: REAL container demux handing off to
+    a REAL DCT codec at the '00dc' seam. Stage 1 synthesizes genuine
+    MJPEG AVI files (fourcc 'MJPG' in both strh and strf, '00dc' chunks
+    carrying real baseline JFIF frames; see ``make_mjpeg_avi_bytes``);
+    stage 2 demuxes with the same ``demux_avi_frames`` RIFF walker the
+    raw-DIB query uses — the compressed fourcc changes NOTHING about
+    the container walk, which is the point of the seam — then decodes
+    every frame with ``jpegcodec.decode_jpeg_gray8`` and emits the
+    per-frame integer-exact stats (coefficient checksums + DC-only
+    pixel sum) that the analytic oracle recomputes from the generating
+    arithmetic.
+
+    Scale posture: two shuffle-free mapInPandas passes; per-clip cost
+    is frames x blocks with no exchange — at 100 TB the demux+decode
+    parallelizes per media file with zero shuffle."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % MJPG_SAMPLE_EVERY == 0)
+         .select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame], _enc=make_mjpeg_avi_bytes
+              ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "avi": [_enc(int(i)) for i in pdf["doc_id"]],
+            })
+
+    clips = d.mapInPandas(synth, "doc_id long, avi binary")
+
+    def demux_decode(batches: Iterator[pd.DataFrame], _dmx=demux_avi_frames
+                     ) -> Iterator[pd.DataFrame]:
+        from dask_lambda_example_spark.operators.jpegcodec import (
+            decode_jpeg_gray8,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                    "dcq_sum", "acq_checksum", "acq_nnz",
+                                    "px_dc_sum")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["avi"]):
+                w, h, n, frames = _dmx(bytes(raw))
+                for f in range(n):
+                    fw, fh, zq, img = decode_jpeg_gray8(bytes(frames[f]))
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            "frame dims disagree with container header")
+                    stats = _jpeg_frame_stats(zq, img,
+                                              int(doc_id) * 101 + f * 37)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    for k in ("dcq_sum", "acq_checksum", "acq_nnz",
+                              "px_dc_sum"):
+                        rows[k].append(stats[k])
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        demux_decode,
+        "doc_id long, frame_idx int, width int, height int, dcq_sum long, "
+        "acq_checksum long, acq_nnz long, px_dc_sum long")

@@ -66,8 +66,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~36 surplus
-# window slots (50 minus the 14-name curated head) auto-fill with the
+# whose implementation changed after their green row. The ~34 surplus
+# window slots (50 minus the 16-name curated head) auto-fill with the
 # STALEST-verified names — r2/r3 greens over code edited many times
 # since — regression detection (ADVICE r6 fixed the stale slot math in
 # this comment). tests/test_units.py::test_registry_priority_rotation
@@ -93,6 +93,11 @@ PRIORITY_QUERIES = (
     # layer (AVI/RIFF demux with header/stream cross-check); all
     # analytically oracle-gated
     "mm_decode_wav_audio", "mm_decode_png_image", "mm_demux_avi_frames",
+    # round-7 new: the DCT tier — REAL baseline-JPEG decode (canonical
+    # Huffman entropy decode, dequant, zigzag, IDCT) and end-to-end
+    # MJPEG-in-AVI compressed video (demux → per-frame DCT decode),
+    # both integer-exactly oracle-gated
+    "mm_decode_jpeg_image", "mm_demux_mjpeg_avi",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;
