@@ -66,8 +66,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~34 surplus
-# window slots (50 minus the 16-name curated head) auto-fill with the
+# whose implementation changed after their green row. The ~32 surplus
+# window slots (50 minus the 18-name curated head) auto-fill with the
 # STALEST-verified names — r2/r3 greens over code edited many times
 # since — regression detection (ADVICE r6 fixed the stale slot math in
 # this comment). tests/test_units.py::test_registry_priority_rotation
@@ -98,6 +98,10 @@ PRIORITY_QUERIES = (
     # MJPEG-in-AVI compressed video (demux → per-frame DCT decode),
     # both integer-exactly oracle-gated
     "mm_decode_jpeg_image", "mm_demux_mjpeg_avi",
+    # round-7 new: crawl-archive ingestion (per-record-gzip-member WARC
+    # build + Content-Length-framed parse) and the .jsonl.gz corpus
+    # interchange roundtrip (native JVM gzip codec path)
+    "src_warc_scan", "fmt_jsonl_gz_roundtrip",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;
@@ -262,5 +266,6 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.sources.synthetic  # noqa: F401
     import dask_lambda_example_spark.sources.formats  # noqa: F401
     import dask_lambda_example_spark.sources.pydatasource  # noqa: F401
+    import dask_lambda_example_spark.sources.warc  # noqa: F401
     import dask_lambda_example_spark.streaming.pipeline  # noqa: F401
     _LOADED = True

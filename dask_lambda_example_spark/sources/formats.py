@@ -149,6 +149,44 @@ def fmt_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fmt_jsonl_gz_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                 AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+           min(doc_id)              AS first_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def fmt_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSON-lines sink → scan: THE LLM-corpus
+    interchange format (one JSON document per line, ``.jsonl.gz`` —
+    what public text corpora actually ship as). Both directions stay
+    JVM-side: the sink writes with ``compression=gzip``, the scan reads
+    the ``.json.gz`` part files natively with an explicit schema (no
+    Python, no inference pass). Complements ``src_warc_scan``: WARC is
+    the custom-parser path, this is the built-in codec path.
+
+    Scale: gzip is NOT splittable — one part file = one read task — so
+    the sink's file count IS the read parallelism; writing from the
+    source partitioning keeps part files bounded. (At 100 TB prefer
+    zstd/parquet internally; .jsonl.gz is the interchange edge.)"""
+    path = _dir("documents_jsonl_gz")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "lang", "text") \
+        .write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema("doc_id bigint, lang string, text string") \
+        .json(path)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
     "fmt_orc_roundtrip",
     oracle="""
     SELECT l_returnflag,

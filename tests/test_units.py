@@ -283,6 +283,46 @@ def test_mjpeg_avi_is_end_to_end_compressed_video():
         assert (zq == jpeg_coeff_blocks(42 * 101 + f * 37)).all()
 
 
+def test_warc_parser_is_real_length_framed():
+    # The WARC path is a REAL ISO-28500 parse: per-record gzip members
+    # (Common Crawl framing), Content-Length record framing that
+    # survives blank lines embedded in payloads, and loud failures on
+    # version/length/terminator/trailing-garbage violations.
+    import gzip
+
+    from dask_lambda_example_spark.sources.warc import (
+        _gzip_member,
+        _split_gzip_members,
+        make_warc_gz_bytes,
+        parse_warc_gz,
+    )
+
+    texts = ["hello", "body\nwith\nnewlines", "x" * 300]
+    raw = make_warc_gz_bytes([3, 7, 11], texts)
+    # one gzip member per record: warcinfo + 3 responses; and the
+    # concatenation is ALSO a valid whole-stream gzip file
+    members = _split_gzip_members(raw)
+    assert len(members) == 4
+    assert gzip.decompress(raw) == b"".join(members)
+
+    recs = parse_warc_gz(raw)
+    assert [r["warc_type"] for r in recs] == ["warcinfo"] + ["response"] * 3
+    for rec, doc_id, text in zip(recs[1:], [3, 7, 11], texts):
+        # payload embeds CRLFCRLF — blank-line splitting would shear it
+        assert rec["payload"] == (text + "\r\n\r\n" + text).encode()
+        assert rec["http_status"] == 200
+        assert rec["target_uri"] == f"http://example.com/doc/{doc_id}"
+
+    with pytest.raises(ValueError, match="garbage"):
+        parse_warc_gz(raw + b"JUNK")
+    with pytest.raises(ValueError, match="version"):
+        parse_warc_gz(_gzip_member(b"WARC/2.0\r\n\r\n\r\n"))
+    member = _split_gzip_members(raw)[1]
+    lied = member.replace(b"Content-Length: ", b"Content-Length: 1", 1)
+    with pytest.raises(ValueError, match="truncated|terminator"):
+        parse_warc_gz(_gzip_member(lied))
+
+
 def test_observe_collects_metrics_inline(spark, sf_dir):
     # df.observe(): pipeline health metrics ride the job itself — no
     # second pass over the data for row counts / null rates at 100 TB
