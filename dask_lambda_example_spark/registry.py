@@ -62,12 +62,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # round. Rounds 1-6 verified all 228 oracle-gated queries green
 # (cumulative union of CORRECTNESS_r01-r06; VERDICT r6 re-derived zero
 # never-verified names) — the backlog is ZERO. The round-7 curated head
-# is therefore small: the four rows-only queries (no oracle → the
+# is therefore small: the six rows-only queries (no oracle → the
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~32 surplus
-# window slots (50 minus the 18-name curated head) auto-fill with the
+# whose implementation changed after their green row. The ~29 surplus
+# window slots (50 minus the 21-name curated head) auto-fill with the
 # STALEST-verified names — r2/r3 greens over code edited many times
 # since — regression detection (ADVICE r6 fixed the stale slot math in
 # this comment). tests/test_units.py::test_registry_priority_rotation
@@ -102,6 +102,12 @@ PRIORITY_QUERIES = (
     # build + Content-Length-framed parse) and the .jsonl.gz corpus
     # interchange roundtrip (native JVM gzip codec path)
     "src_warc_scan", "fmt_jsonl_gz_roundtrip",
+    # round-7 new: distributed BPE tokenizer family. pair_counts is the
+    # oracle-gated per-iteration workhorse; train/encode are rows-only
+    # BY PHYSICS (iterative argmax is not SQL-expressible) and join the
+    # permanent re-earn set — train is pytest-exact vs the pure-Python
+    # reference, encode carries a worker-side rank-replay exact gate
+    "text_bpe_pair_counts", "text_bpe_train", "text_bpe_encode",
     # round-7 materially changed (REVERIFY): the bucketed rolling twin's
     # bucket id moved from a truncating cast to floor (ADVICE r6 — the
     # negative-epoch latent bug), which win_rolling_auto dispatches to;
@@ -263,6 +269,7 @@ def _ensure_loaded() -> None:
     import dask_lambda_example_spark.operators.text  # noqa: F401
     import dask_lambda_example_spark.operators.multimodal  # noqa: F401
     import dask_lambda_example_spark.operators.udf_surface  # noqa: F401
+    import dask_lambda_example_spark.operators.bpe  # noqa: F401
     import dask_lambda_example_spark.sources.synthetic  # noqa: F401
     import dask_lambda_example_spark.sources.formats  # noqa: F401
     import dask_lambda_example_spark.sources.pydatasource  # noqa: F401

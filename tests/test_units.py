@@ -323,6 +323,73 @@ def test_warc_parser_is_real_length_framed():
         parse_warc_gz(_gzip_member(lied))
 
 
+def test_bpe_train_matches_reference(spark, sf_dir):
+    # The distributed trainer's merge sequence must equal the pure-
+    # Python reference MERGE-BY-MERGE (same counts, same deterministic
+    # tie-break) — this is the exactness gate for the rows-only
+    # text_bpe_train query.
+    import duckdb
+
+    import dask_lambda_example_spark.operators.bpe as bpe
+    from dask_lambda_example_spark.operators.bpe import (
+        BPE_MERGES,
+        text_bpe_train,
+        train_bpe_reference,
+    )
+
+    # Force the DISTRIBUTED loop (the local-dispatch path IS the
+    # reference trainer, so letting it dispatch locally would compare
+    # the reference to itself) and bust the deterministic memo.
+    monkeypatch = pytest.MonkeyPatch()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_LOCAL_VOCAB_MAX", "0")
+    bpe._MERGE_CACHE.clear()
+    try:
+        rows = text_bpe_train(spark, sf_dir).collect()
+    finally:
+        monkeypatch.undo()
+        bpe._MERGE_CACHE.clear()
+    wc = dict(duckdb.sql(f"""
+        SELECT word, count(*) FROM
+            (SELECT unnest(string_split(text, ' ')) AS word
+             FROM '{sf_dir}/documents.parquet')
+        WHERE word <> '' GROUP BY word""").fetchall())
+    ref = train_bpe_reference(wc, BPE_MERGES)
+    got = [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+    assert got == ref
+    assert [r["rank"] for r in rows] == list(range(len(ref)))
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_bpe_merge_and_encode_semantics():
+    # merge_word must resume AFTER a merged pair (aaaa → aa aa, not
+    # aa a a), and the two encode strategies (lowest-rank-first scan
+    # vs rank-at-a-time replay) must agree on learned merge lists.
+    from dask_lambda_example_spark.operators.bpe import (
+        encode_word,
+        encode_word_replay,
+        merge_word,
+        train_bpe_reference,
+        word_to_symbols,
+    )
+
+    assert merge_word(("a", "a", "a", "a"), "a", "a") == ("aa", "aa")
+    assert merge_word(("a", "a", "a"), "a", "a") == ("aa", "a")
+    assert merge_word(word_to_symbols("abab"), "a", "b") == \
+        ("ab", "ab", "</w>")
+
+    wc = {"scan": 50, "scans": 30, "span": 20, "cans": 10, "a": 5,
+          "banana": 7, "bandana": 3}
+    merges = train_bpe_reference(wc, 12)
+    assert merges, "reference learned nothing"
+    pairs = [(left, right) for left, right, _ in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    for w in wc:
+        assert encode_word(w, ranks) == encode_word_replay(w, pairs), w
+    # encoding is lossless: concatenated tokens reproduce word + </w>
+    for w in wc:
+        assert "".join(encode_word(w, ranks)) == w + "</w>"
+
+
 def test_observe_collects_metrics_inline(spark, sf_dir):
     # df.observe(): pipeline health metrics ride the job itself — no
     # second pass over the data for row counts / null rates at 100 TB
