@@ -66,8 +66,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~29 surplus
-# window slots (50 minus the 21-name curated head) auto-fill with the
+# whose implementation changed after their green row. The ~28 surplus
+# window slots (50 minus the 22-name curated head) auto-fill with the
 # STALEST-verified names — r2/r3 greens over code edited many times
 # since — regression detection (ADVICE r6 fixed the stale slot math in
 # this comment). tests/test_units.py::test_registry_priority_rotation
@@ -101,7 +101,7 @@ PRIORITY_QUERIES = (
     # round-7 new: crawl-archive ingestion (per-record-gzip-member WARC
     # build + Content-Length-framed parse) and the .jsonl.gz corpus
     # interchange roundtrip (native JVM gzip codec path)
-    "src_warc_scan", "fmt_jsonl_gz_roundtrip",
+    "src_warc_scan", "fmt_jsonl_gz_roundtrip", "src_tar_archive_scan",
     # round-7 new: distributed BPE tokenizer family. pair_counts is the
     # oracle-gated per-iteration workhorse; train/encode are rows-only
     # BY PHYSICS (iterative argmax is not SQL-expressible) and join the

@@ -241,3 +241,95 @@ def src_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan,
         "doc_id long, uri string, http_status int, n_payload_bytes long, "
         "payload_md5 string")
+
+
+TAR_DOCS_PER_FILE = 100        # documents per synthetic tarball
+
+
+def make_tar_bytes(doc_ids: list[int], texts: list[str]) -> bytes:
+    """Build a genuine POSIX tar archive (stdlib ``tarfile``) with one
+    ``doc_<id>.txt`` member per document. Deterministic metadata
+    (mtime 0, uid/gid 0) so the archive bytes are reproducible."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for doc_id, text in zip(doc_ids, texts):
+            data = text.encode("utf-8")
+            info = tarfile.TarInfo(name=f"doc_{doc_id}.txt")
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+@query(
+    "src_tar_archive_scan",
+    oracle="""
+    SELECT doc_id,
+           'doc_' || doc_id || '.txt'        AS member_name,
+           CAST(strlen(text) AS BIGINT)      AS n_bytes,
+           md5(text)                         AS content_md5
+    FROM documents
+    """,
+)
+def src_tar_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar-archive ingestion (the other container corpora ship as —
+    uncompressed tar specifically, because it supports random access to
+    members, unlike .tar.gz which must inflate from the front): stage 1
+    groups documents into genuine POSIX tarballs; stage 2 walks every
+    member with stdlib ``tarfile`` and emits name/size/MD5 per member,
+    value-checked against the original rows. Same two-pass shape and
+    scale posture as ``src_warc_scan``: one write-side shuffle on
+    ``file_id``, then a shuffle-free per-archive mapInPandas parse."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text")
+         .withColumn("file_id",
+                     (F.col("doc_id") / TAR_DOCS_PER_FILE).cast("long")))
+
+    # Single-parameter signature (applyInPandas dispatches on arity —
+    # see the WARC build note above).
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dask_lambda_example_spark.sources.warc import (
+            make_tar_bytes as _mk,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame({
+            "file_id": [int(pdf["file_id"].iloc[0])],
+            "tar": [_mk([int(i) for i in pdf["doc_id"]],
+                        list(pdf["text"]))],
+        })
+
+    archives = (d.groupBy("file_id")
+                 .applyInPandas(build, "file_id long, tar binary"))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import tarfile
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "member_name", "n_bytes",
+                                    "content_md5")}
+            for raw in pdf["tar"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(raw)),
+                                  mode="r:") as tf:
+                    for info in tf:
+                        data = tf.extractfile(info).read()
+                        if len(data) != info.size:
+                            raise ValueError("tar member size disagrees "
+                                             "with header")
+                        rows["doc_id"].append(
+                            int(info.name[4:-4]))  # doc_<id>.txt
+                        rows["member_name"].append(info.name)
+                        rows["n_bytes"].append(info.size)
+                        rows["content_md5"].append(
+                            hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return archives.mapInPandas(
+        scan,
+        "doc_id long, member_name string, n_bytes long, content_md5 string")

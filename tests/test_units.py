@@ -323,6 +323,27 @@ def test_warc_parser_is_real_length_framed():
         parse_warc_gz(_gzip_member(lied))
 
 
+def test_tar_archive_roundtrip_is_deterministic():
+    # Genuine POSIX tar: stdlib tarfile must read back every member
+    # with the exact bytes, and identical inputs must produce identical
+    # archive bytes (metadata pinned for reproducibility).
+    import io
+    import tarfile
+
+    from dask_lambda_example_spark.sources.warc import make_tar_bytes
+
+    texts = ["alpha", "beta\nwith lines", "g" * 600]
+    raw = make_tar_bytes([1, 2, 30], texts)
+    assert raw == make_tar_bytes([1, 2, 30], texts)
+    with tarfile.open(fileobj=io.BytesIO(raw), mode="r:") as tf:
+        members = list(tf)
+        assert [m.name for m in members] == [
+            "doc_1.txt", "doc_2.txt", "doc_30.txt"]
+        for m, t in zip(members, texts):
+            assert tf.extractfile(m).read() == t.encode()
+            assert m.mtime == 0 and m.uid == 0
+
+
 def test_bpe_train_matches_reference(spark, sf_dir):
     # The distributed trainer's merge sequence must equal the pure-
     # Python reference MERGE-BY-MERGE (same counts, same deterministic
