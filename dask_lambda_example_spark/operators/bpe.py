@@ -158,12 +158,12 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY word),
     pairs AS (
         SELECT substr(w.word, i.i, 1)     AS left_sym,
-               CASE WHEN i.i = strlen(w.word)
+               CASE WHEN i.i = length(w.word)
                     THEN '{BPE_END}'
                     ELSE substr(w.word, i.i + 1, 1) END AS right_sym,
                w.cnt
         FROM wc w,
-             LATERAL (SELECT unnest(generate_series(1, strlen(w.word)))
+             LATERAL (SELECT unnest(generate_series(1, length(w.word)))
                       AS i) i)
     SELECT left_sym, right_sym,
            CAST(SUM(cnt) AS BIGINT) AS pair_count
@@ -199,8 +199,26 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic memo: the merge sequence is a pure function of the
 # corpus, so encode (and repeated battery runs) reuse train's result
-# instead of re-running 24 iterative jobs.
-_MERGE_CACHE: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+# instead of re-running 24 iterative jobs. The key includes a cheap
+# CONTENT fingerprint of the documents table (file names, sizes,
+# mtimes — a driver-local stat, no Spark job), so regenerating the
+# data under the same sf_dir within one session (e.g. tools/
+# make_skew.py rewriting a tier) invalidates the memo instead of
+# silently reusing merges from the old corpus (ADVICE r7).
+_MERGE_CACHE: dict[tuple, list[tuple[str, str, int]]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(name, size, mtime_ns) per file of the documents table — single
+    file or directory-of-parts layout."""
+    import os
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / "documents.parquet"
+    files = [p] if p.is_file() else sorted(
+        f for f in p.glob("**/*") if f.is_file())
+    return tuple((f.name, (st := f.stat()).st_size, st.st_mtime_ns)
+                 for f in files)
 
 # Rows of vocabulary per partition in the iterative loop. The word
 # table is Heaps'-law small, so the default 32 shuffle partitions would
@@ -221,7 +239,7 @@ def train_bpe(spark: SparkSession, sf_dir: str,
     size, not the corpus."""
     import os
 
-    key = (sf_dir, n_merges)
+    key = (sf_dir, n_merges, _corpus_fingerprint(sf_dir))
     if key in _MERGE_CACHE:
         return _MERGE_CACHE[key]
     wc = _word_counts(spark, sf_dir)
@@ -299,15 +317,32 @@ def train_bpe(spark: SparkSession, sf_dir: str,
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (see ``train_bpe``). Returns
     the learned merge table (rank, left, right, merged, pair_count).
-    In-body gate: ranks must be dense from 0, every pair count must be
-    >= BPE_MIN_PAIR_COUNT, and each merged symbol must be the
-    concatenation of its parts — violations raise rather than return."""
+    In-body gate (violations raise rather than return): every pair
+    count >= BPE_MIN_PAIR_COUNT; pair counts non-increasing by rank
+    (greedy argmax can never pick a pair whose count exceeds an earlier
+    winner's — any new pair created by a merge occurs at most as often
+    as the merge that created it); and each merge's parts must be
+    DERIVABLE — a single character, the terminal symbol, or the product
+    of an earlier merge — i.e. the merge list is closed under its own
+    construction order (ADVICE r7: the previous gate was vacuous)."""
     merges = train_bpe(spark, sf_dir)
+    derivable: set[str] = set()
+    prev_cnt: int | None = None
     for rank, (left, right, cnt) in enumerate(merges):
         if cnt < BPE_MIN_PAIR_COUNT:
-            raise ValueError("merge below the minimum pair count")
-        if not left or not right:
-            raise ValueError("empty merge symbol")
+            raise ValueError(f"rank {rank}: merge below the minimum "
+                             f"pair count ({cnt})")
+        if prev_cnt is not None and cnt > prev_cnt:
+            raise ValueError(
+                f"rank {rank}: pair count {cnt} exceeds earlier winner "
+                f"{prev_cnt} — greedy argmax order violated")
+        prev_cnt = cnt
+        for part in (left, right):
+            if len(part) > 1 and part != BPE_END and part not in derivable:
+                raise ValueError(
+                    f"rank {rank}: symbol {part!r} is neither a single "
+                    f"character, the terminal, nor an earlier merge")
+        derivable.add(left + right)
     rows = [(rank, left, right, left + right, cnt)
             for rank, (left, right, cnt) in enumerate(merges)]
     return spark.createDataFrame(

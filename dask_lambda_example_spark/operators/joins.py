@@ -291,8 +291,27 @@ def join_range_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-join output at local[32] — the last scale where enumeration
 # finishes in the same ballpark as the CDF form's two tiny shuffles.
 THETA_ENUM_MAX_PAIRS = 100_000_000
-_THETA_SMALL_FRAC = 2 / 50   # p_size <= 2 on the uniform 1..50 domain
-_THETA_BRAND_FRAC = 1 / 25   # equi-prefix: pairs form within one brand
+
+
+def _theta_pair_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """Estimated output of the enumerating branch's equi-prefix hash
+    join: Σ_brand (small-side rows × full-side rows). Computed from the
+    data itself by ONE column-pruned aggregation over (p_brand, p_size)
+    — the previous version hardcoded the synthetic testdata's uniform
+    size / brand fractions, which silently miscalibrated on any other
+    distribution (ADVICE r7). The 1-row collect is the bounded
+    driver-scalar pattern; at 100 TB the same number comes for free
+    from catalog NDV + histogram stats instead of this scan, but a
+    two-thin-column scan is the honest portable fallback — and it costs
+    strictly less than either branch it dispatches between (both scan
+    part anyway)."""
+    part = load_table(spark, sf_dir, "part")
+    per_brand = part.groupBy("p_brand").agg(
+        F.count("*").alias("n_b"),
+        F.count(F.when(F.col("p_size") <= 2, True)).alias("n_small_b"))
+    row = per_brand.agg(
+        F.sum(F.col("n_small_b") * F.col("n_b")).alias("est")).collect()[0]
+    return int(row["est"] or 0)
 
 def _theta_agg_oracle() -> str:
     """The dispatcher's contract is the CDF sibling's oracle verbatim:
@@ -336,13 +355,11 @@ def theta_range_agg_auto(spark: SparkSession, sf_dir: str,
     (``join_range_cdf_agg``, 1.9× growth at the round-6 100× step vs
     16.3× enumerating) above it — "never enumerate pairs you are about
     to count" enforced by dispatch instead of a docstring. The
-    estimate is rows² × the predicate's selectivity fractions; row
-    count from parquet footer metadata, no job at plan-construction
-    time."""
-    from dask_lambda_example_spark.io import parquet_rowcount
-
-    n = parquet_rowcount(sf_dir, "part")
-    est_pairs = n * n * _THETA_SMALL_FRAC * _THETA_BRAND_FRAC
+    estimate is the per-brand small×full row product summed over
+    brands, measured from the data by one thin aggregation
+    (``_theta_pair_estimate``) rather than assumed from the testdata's
+    distribution."""
+    est_pairs = _theta_pair_estimate(spark, sf_dir)
     if est_pairs <= max_enum_pairs:
         return _theta_range_agg_enum(spark, sf_dir)
     return join_range_cdf_agg(spark, sf_dir)

@@ -153,7 +153,7 @@ def fmt_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*)                 AS n_docs,
-           CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            min(doc_id)              AS first_doc
     FROM documents
     GROUP BY lang
