@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_lambda_example_spark.io import load_table
-from dask_lambda_example_spark.registry import query
+from dask_lambda_example_spark.registry import QUERIES, query
 
 # ---------------------------------------------------------------------------
 # shared building blocks
@@ -1119,15 +1119,30 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the arbitrary-dataframe-compute contract
     (``layer/python/dask_processing.py:26-27``); no dedup exists in the
     reference itself."""
+    return _repeated_ngram_spans(spark, sf_dir, hashed=False)
+
+
+def _repeated_ngram_spans(spark: SparkSession, sf_dir: str,
+                          hashed: bool) -> DataFrame:
+    """Shared body for the string-keyed and hash-keyed span queries.
+    ``hashed=True`` replaces the span STRING with ``xxhash64(span)``
+    BEFORE the shuffle, so both the document-frequency groupBy and the
+    rollup join move 8-byte longs instead of ~40-byte strings — the
+    scale mitigation SCALE.md Round-7 documented."""
     d = load_table(spark, sf_dir, "documents", parallel=True)
     n = SPAN_N
+    span = F.explode(F.expr(
+        f"transform(sequence(1, size(a) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(a, i, {n})))")).alias("ngram")
     ng = (
         d.select("doc_id", F.split(F.col("text"), " ").alias("a"))
         .filter(F.size("a") >= n)
-        .select("doc_id", F.explode(F.expr(
-            f"transform(sequence(1, size(a) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(a, i, {n})))")).alias("ngram"))
+        .select("doc_id", span)
     )
+    if hashed:
+        # Hash projection happens map-side, pre-shuffle: the string
+        # never leaves the scan stage.
+        ng = ng.select("doc_id", F.xxhash64("ngram").alias("ngram"))
     df = ng.groupBy("ngram").agg(
         F.countDistinct("doc_id").alias("ndocs"))
     per_doc = (
@@ -1145,3 +1160,26 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_repeated_ngram_spans.__doc__ = (
     dedup_repeated_ngram_spans.__doc__.format(n=SPAN_N))
+
+
+@query(
+    "dedup_repeated_ngram_spans_hashed",
+    oracle=QUERIES["dedup_repeated_ngram_spans"].oracle,
+)
+def dedup_repeated_ngram_spans_hashed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Hash-keyed twin of ``dedup_repeated_ngram_spans`` (VERDICT r7
+    item 2 — the last documented-but-uncoded scale mitigation): span
+    strings are replaced by ``xxhash64(span)`` map-side, so the ONE
+    span shuffle (document-frequency groupBy + rollup join, same key →
+    AQE reuses the exchange) carries fixed 8-byte keys instead of
+    ~40-byte strings. Semantics: identical modulo 64-bit hash
+    collisions, which merge two distinct spans and can only INFLATE a
+    doc's repeated count; with ~10⁹ distinct spans the birthday bound
+    puts the chance of even one collision at ~3·10⁻², and a collision
+    changes output only if the merged span was otherwise unrepeated —
+    the accepted trade of every production exact-substring pipeline.
+    The string-keyed sibling stays registered for bit-exact oracle
+    parity; both share its DuckDB oracle (collision-free at test
+    scale)."""
+    return _repeated_ngram_spans(spark, sf_dir, hashed=True)

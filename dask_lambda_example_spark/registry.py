@@ -59,62 +59,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. Rounds 1-6 verified all 228 oracle-gated queries green
-# (cumulative union of CORRECTNESS_r01-r06; VERDICT r6 re-derived zero
-# never-verified names) — the backlog is ZERO. The round-7 curated head
-# is therefore small: the six rows-only queries (no oracle → the
-# driver records only that they ran; that weak signal is re-earned
-# EVERY round, since a no-correctness-signal row never marks a query
-# verified — ADVICE r3), the round-7 additions, and the REVERIFY names
-# whose implementation changed after their green row. The ~28 surplus
-# window slots (50 minus the 22-name curated head) auto-fill with the
-# STALEST-verified names — r2/r3 greens over code edited many times
-# since — regression detection (ADVICE r6 fixed the stale slot math in
-# this comment). tests/test_units.py::test_registry_priority_rotation
-# enforces the window invariants.
+# round. The cumulative union of CORRECTNESS_r01-r07 covers ALL
+# oracle-gated queries green with zero never-verified names (VERDICT r7
+# re-derived this) — the backlog is ZERO. The round-8 curated head is
+# therefore small: the six rows-only queries (no oracle → the driver
+# records only that they ran; that weak signal is re-earned EVERY
+# round, since a no-correctness-signal row never marks a query
+# verified — ADVICE r3), the round-8 addition, and the REVERIFY names
+# whose implementation or oracle changed after their green row. The
+# ~39 surplus window slots (50 minus the 11-name curated head)
+# auto-fill with the STALEST-verified names — r2/r3-era greens over
+# code edited many times since (VERDICT r7 item 1 named
+# scalar_functions.py / aggregates.py rows as the stalest) —
+# regression detection. tests/test_units.py::
+# test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —
-    # the driver re-runs them every round
+    # the driver re-runs them every round. text_bpe_train/encode joined
+    # the permanent re-earn set in r7 (iterative argmax is not
+    # SQL-expressible; train is pytest-exact vs a pure-Python reference,
+    # encode carries a worker-side rank-replay exact gate).
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
-    "stream_rate_source_smoke",
-    # round-7 new: the last two named scale-killers put behind metadata
-    # dispatchers (VERDICT r6 items 1-2) — range-join aggregation
-    # (enumerate-then-count vs pair-free CDF) and similarity search
-    # (exact brute force vs IVF multiprobe) — plus the binned band join
-    # that keeps PAIR-LIST range joins off BroadcastNestedLoop
-    "join_theta_auto", "join_band_binned", "sim_search_auto",
-    # round-7 new: exact-substring-style repeated-span detection (the
-    # boilerplate signal one level finer than chunk dedup)
+    "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
+    # round-8 new: the xxhash64-keyed twin of the repeated-span query
+    # (VERDICT r7 item 2 — the last documented-but-uncoded scale
+    # mitigation: 8-byte shuffle keys instead of ~40-byte span strings)
+    "dedup_repeated_ngram_spans_hashed",
+    # round-8 materially changed (REVERIFY): ADVICE r7 oracle fixes
+    # (char-based length() in the BPE pair-count and .jsonl.gz oracles),
+    # the theta dispatcher's estimate now measured from the data, and
+    # the span query's body refactored into the shared helper the
+    # hashed twin dispatches through
+    "text_bpe_pair_counts", "fmt_jsonl_gz_roundtrip", "join_theta_auto",
     "dedup_repeated_ngram_spans",
-    # round-7 new: REAL media decode (stdlib-only codecs) — upgrades
-    # the media-decode component from stub to real for audio (wave
-    # RIFF/PCM parser), image (full PNG decoder: CRC-verified chunk
-    # walk, inflate, five-filter unfilter), and the video container
-    # layer (AVI/RIFF demux with header/stream cross-check); all
-    # analytically oracle-gated
-    "mm_decode_wav_audio", "mm_decode_png_image", "mm_demux_avi_frames",
-    # round-7 new: the DCT tier — REAL baseline-JPEG decode (canonical
-    # Huffman entropy decode, dequant, zigzag, IDCT) and end-to-end
-    # MJPEG-in-AVI compressed video (demux → per-frame DCT decode),
-    # both integer-exactly oracle-gated
-    "mm_decode_jpeg_image", "mm_demux_mjpeg_avi",
-    # round-7 new: crawl-archive ingestion (per-record-gzip-member WARC
-    # build + Content-Length-framed parse) and the .jsonl.gz corpus
-    # interchange roundtrip (native JVM gzip codec path)
-    "src_warc_scan", "fmt_jsonl_gz_roundtrip", "src_tar_archive_scan",
-    # round-7 new: distributed BPE tokenizer family. pair_counts is the
-    # oracle-gated per-iteration workhorse; train/encode are rows-only
-    # BY PHYSICS (iterative argmax is not SQL-expressible) and join the
-    # permanent re-earn set — train is pytest-exact vs the pure-Python
-    # reference, encode carries a worker-side rank-replay exact gate
-    "text_bpe_pair_counts", "text_bpe_train", "text_bpe_encode",
-    # round-7 materially changed (REVERIFY): the bucketed rolling twin's
-    # bucket id moved from a truncating cast to floor (ADVICE r6 — the
-    # negative-epoch latent bug), which win_rolling_auto dispatches to;
-    # stream_tumbling_counts attests the events_stream reader-path edit
-    # (files_per_trigger option threaded for the audit tooling)
-    "win_rolling_time_range_bucketed", "win_rolling_auto",
-    "stream_tumbling_counts",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -129,21 +106,24 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r7: the bucketed rolling twin's bucket id moved to floor (ADVICE r6)
-# — its r6 green row attests the truncating-cast code — and
-# win_rolling_auto dispatches to it; stream_tumbling_counts re-attests
-# the edited events_stream reader path on behalf of the stream_* family
-# (the files_per_trigger option defaults to None → identical plans, one
-# representative re-run is the right cost).
-REVERIFY: tuple[str, ...] = ("win_rolling_time_range_bucketed",
-                             "win_rolling_auto",
-                             "stream_tumbling_counts")
+# r8: the ADVICE r7 fixes — text_bpe_pair_counts and
+# fmt_jsonl_gz_roundtrip got char-based oracles (length() for strlen()),
+# join_theta_auto's dispatch estimate is now measured from the data
+# instead of hardcoded testdata fractions, and
+# dedup_repeated_ngram_spans' body moved into the shared helper the
+# hashed twin also calls. All four re-ran strict-parity clean locally
+# after the edits; the driver row re-attests them.
+REVERIFY: tuple[str, ...] = ("text_bpe_pair_counts",
+                             "fmt_jsonl_gz_roundtrip",
+                             "join_theta_auto",
+                             "dedup_repeated_ngram_spans")
 
 
 def _verdicts() -> dict[str, bool]:
