@@ -165,6 +165,27 @@ def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
     return len(seen)
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap CONTENT fingerprint of one driver table — (name, size,
+    mtime_ns) per file, a driver-local stat with NO Spark job. Memo
+    keys that must invalidate when the data under an sf_dir is
+    regenerated in-session (e.g. tools/make_skew.py rewriting a tier)
+    include this alongside the path. Fails loudly on a missing table —
+    same contract as ``parquet_rowcount`` (ADVICE r5/r8): a typo'd name
+    silently degrading the cache key to path-only is the worst mode."""
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    files = ([p] if p.is_file()
+             else sorted(f for f in p.rglob("*") if f.is_file())
+             if p.is_dir() else [])
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet data for table {name!r} under {sf_dir!r}")
+    return tuple((f.name, (st := f.stat()).st_size, st.st_mtime_ns)
+                 for f in files)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

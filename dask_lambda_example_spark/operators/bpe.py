@@ -210,15 +210,12 @@ _MERGE_CACHE: dict[tuple, list[tuple[str, str, int]]] = {}
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
     """(name, size, mtime_ns) per file of the documents table — single
-    file or directory-of-parts layout."""
-    import os
-    import pathlib
+    file or directory-of-parts layout. Delegates to the shared
+    fail-loud helper: a missing/odd-layout table raises instead of
+    silently degrading the memo key to sf_dir-only (ADVICE r8)."""
+    from dask_lambda_example_spark.io import table_fingerprint
 
-    p = pathlib.Path(sf_dir) / "documents.parquet"
-    files = [p] if p.is_file() else sorted(
-        f for f in p.glob("**/*") if f.is_file())
-    return tuple((f.name, (st := f.stat()).st_size, st.st_mtime_ns)
-                 for f in files)
+    return table_fingerprint(sf_dir, "documents")
 
 # Rows of vocabulary per partition in the iterative loop. The word
 # table is Heaps'-law small, so the default 32 shuffle partitions would

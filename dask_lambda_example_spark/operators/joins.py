@@ -293,25 +293,66 @@ def join_range_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 THETA_ENUM_MAX_PAIRS = 100_000_000
 
 
-def _theta_pair_estimate(spark: SparkSession, sf_dir: str) -> int:
+# Above this footer row count the driver-local two-column read is no
+# longer appropriate (the table has outgrown "fits a driver read", the
+# same line parquet_column_ndv draws) — return the n² upper bound
+# instead, which correctly forces the CDF branch at any such scale.
+THETA_DRIVER_READ_MAX_ROWS = 20_000_000
+
+_THETA_EST_CACHE: dict[tuple, int] = {}
+
+
+def _theta_pair_estimate(sf_dir: str,
+                         max_enum_pairs: float = THETA_ENUM_MAX_PAIRS
+                         ) -> int:
     """Estimated output of the enumerating branch's equi-prefix hash
-    join: Σ_brand (small-side rows × full-side rows). Computed from the
-    data itself by ONE column-pruned aggregation over (p_brand, p_size)
-    — the previous version hardcoded the synthetic testdata's uniform
-    size / brand fractions, which silently miscalibrated on any other
-    distribution (ADVICE r7). The 1-row collect is the bounded
-    driver-scalar pattern; at 100 TB the same number comes for free
-    from catalog NDV + histogram stats instead of this scan, but a
-    two-thin-column scan is the honest portable fallback — and it costs
-    strictly less than either branch it dispatches between (both scan
-    part anyway)."""
-    part = load_table(spark, sf_dir, "part")
-    per_brand = part.groupBy("p_brand").agg(
-        F.count("*").alias("n_b"),
-        F.count(F.when(F.col("p_size") <= 2, True)).alias("n_small_b"))
-    row = per_brand.agg(
-        F.sum(F.col("n_small_b") * F.col("n_b")).alias("est")).collect()[0]
-    return int(row["est"] or 0)
+    join: Σ_brand (small-side rows × full-side rows), with NO Spark job
+    — merely constructing the dispatcher's DataFrame must never launch
+    one (the io.py plan-build contract; ADVICE r8 flagged the previous
+    eager groupBy+collect). Three job-free tiers:
+
+    1. footer num_rows ``n`` (parquet_rowcount): if n² — the worst-case
+       upper bound (every row one brand, every row small) — already
+       fits under the threshold, enumeration is safe for ANY
+       distribution; no data read at all.
+    2. if the table has outgrown a driver read, return the n² upper
+       bound: conservatively dispatches to the CDF form, which is the
+       measured winner at every such scale anyway.
+    3. otherwise the exact estimate from a driver-local pyarrow read of
+       the two thin columns, memoized per (sf_dir, table fingerprint)
+       so repeated battery runs pay the read once per corpus (the
+       _MERGE_CACHE pattern, bpe.py).
+
+    At 100 TB the same number comes for free from catalog NDV +
+    histogram stats; the footer bound + capped column read is the
+    file-system-only stand-in, and it never touches a column the
+    dispatched branches don't scan anyway."""
+    from dask_lambda_example_spark.io import (parquet_rowcount,
+                                              table_fingerprint)
+
+    n = parquet_rowcount(sf_dir, "part")
+    if n * n <= max_enum_pairs or n > THETA_DRIVER_READ_MAX_ROWS:
+        return n * n
+    key = (sf_dir, table_fingerprint(sf_dir, "part"))
+    if key not in _THETA_EST_CACHE:
+        import collections
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        p = pathlib.Path(sf_dir) / "part.parquet"
+        files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+        n_b: collections.Counter = collections.Counter()
+        n_small_b: collections.Counter = collections.Counter()
+        for f in files:
+            t = pq.read_table(f, columns=["p_brand", "p_size"])
+            brands = t["p_brand"].to_pylist()
+            sizes = t["p_size"].to_pylist()
+            n_b.update(brands)
+            n_small_b.update(b for b, s in zip(brands, sizes) if s <= 2)
+        _THETA_EST_CACHE[key] = sum(
+            c * n_b[b] for b, c in n_small_b.items())
+    return _THETA_EST_CACHE[key]
 
 def _theta_agg_oracle() -> str:
     """The dispatcher's contract is the CDF sibling's oracle verbatim:
@@ -356,10 +397,10 @@ def theta_range_agg_auto(spark: SparkSession, sf_dir: str,
     16.3× enumerating) above it — "never enumerate pairs you are about
     to count" enforced by dispatch instead of a docstring. The
     estimate is the per-brand small×full row product summed over
-    brands, measured from the data by one thin aggregation
-    (``_theta_pair_estimate``) rather than assumed from the testdata's
-    distribution."""
-    est_pairs = _theta_pair_estimate(spark, sf_dir)
+    brands, measured from the data job-free (footer bound + memoized
+    driver-local column read, ``_theta_pair_estimate``) rather than
+    assumed from the testdata's distribution."""
+    est_pairs = _theta_pair_estimate(sf_dir, max_enum_pairs)
     if est_pairs <= max_enum_pairs:
         return _theta_range_agg_enum(spark, sf_dir)
     return join_range_cdf_agg(spark, sf_dir)

