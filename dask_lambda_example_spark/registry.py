@@ -84,6 +84,11 @@ PRIORITY_QUERIES = (
     # straggler (VERDICT r8 item 5); shares src_warc_scan's
     # grouping-independent oracle
     "src_warc_by_lang_scan",
+    # round-9 new: product quantization with ADC scoring (the vector-
+    # compression half of IVF-PQ, full-pipeline oracle), its recall@k
+    # audit in PQ's native L2 metric, and the composed IVF-PQ search
+    # (cell-pruned ADC — the FAISS-style billion-scale path)
+    "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
     # round-9 materially changed (REVERIFY): the theta dispatcher's
     # estimate is now JOB-FREE (footer rowcount bound + memoized
     # driver-local pyarrow column read, ADVICE r8) — same dispatch

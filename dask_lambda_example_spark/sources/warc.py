@@ -109,18 +109,41 @@ def make_warc_gz_bytes(doc_ids: list[int], texts: list[str]) -> bytes:
 
 def _split_gzip_members(raw: bytes) -> list[bytes]:
     """Inflate a concatenation of gzip members into one plaintext blob
-    per member; refuse trailing non-gzip garbage."""
+    per member; refuse trailing non-gzip garbage.
+
+    Streaming-chunked on purpose: the naive loop (`decompress(buf)`
+    then `buf = d.unused_data`) copies the entire remaining archive
+    once PER MEMBER — quadratic in member count, and real archives have
+    Common-Crawl-scale member counts (a 20 MB / 50 k-member WARC turns
+    into ~500 GB of memcpy; the round-9 unbounded-lang straggler
+    measurement hit exactly this). Feeding fixed-size memoryview chunks
+    keeps the carry between members bounded by the chunk size, so the
+    walk is linear in archive bytes regardless of member count."""
     import zlib
 
-    out, buf = [], raw
-    while buf:
-        if buf[:2] != b"\x1f\x8b":
+    chunk_size = 1 << 20
+    view = memoryview(raw)
+    n = len(raw)
+    out: list[bytes] = []
+    pos = 0        # next unread offset into the archive
+    carry = b""    # tail of the previous chunk belonging to the next member
+    while carry or pos < n:
+        if len(carry) < 2 and pos < n:   # ensure the magic is checkable
+            take = min(2 - len(carry), n - pos)
+            carry += bytes(view[pos:pos + take])
+            pos += take
+        if carry[:2] != b"\x1f\x8b":
             raise ValueError("trailing garbage after last gzip member")
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.append(d.decompress(buf))
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        buf = d.unused_data
+        parts = [d.decompress(carry)]
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member")
+            nxt = min(chunk_size, n - pos)
+            parts.append(d.decompress(view[pos:pos + nxt]))
+            pos += nxt
+        out.append(b"".join(parts))
+        carry = d.unused_data
     return out
 
 

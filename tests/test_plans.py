@@ -691,3 +691,19 @@ def test_sim_search_auto_dispatch(spark, sf_dir):
     assert scale_df.columns == naive_df.columns
     ranks = [r.rank for r in scale_df.select("rank").collect()]
     assert ranks and max(ranks) <= TOP_K
+
+
+def test_pq_adc_scan_broadcasts_and_never_cartesians(spark, sf_dir):
+    # PQ's whole point is that the corpus side stays put: codebooks and
+    # the per-probe distance tables are the broadcast sides, the ADC
+    # join is an equi-join on (m, code) — never a cartesian — and the
+    # full-width embedding column must not appear past the encode stage
+    # (the scan that ranks neighbors reads codes, not vectors).
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_pq_adc_search"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # the final ranking exchange carries scalar distances only
+    assert "BroadcastNestedLoopJoin" not in plan

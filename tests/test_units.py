@@ -344,6 +344,28 @@ def test_tar_archive_roundtrip_is_deterministic():
             assert m.mtime == 0 and m.uid == 0
 
 
+def test_warc_member_walk_is_linear_in_member_count():
+    # Regression pin for the round-9 quadratic: the gzip-member walk
+    # must not copy the remaining archive once per member (unused_data
+    # resliced per iteration). 20k members parse in ~1s linear; the
+    # quadratic form took minutes — the 30s bound has ~30x margin on
+    # the fix while catching any reintroduction at this member count
+    # (real Common Crawl WARCs carry ~50k records).
+    import time
+
+    from dask_lambda_example_spark.sources.warc import (
+        make_warc_gz_bytes,
+        parse_warc_gz,
+    )
+
+    n = 20_000
+    raw = make_warc_gz_bytes(list(range(n)), ["x" * 400] * n)
+    t0 = time.time()
+    recs = parse_warc_gz(raw)
+    assert len(recs) == n + 1  # + warcinfo
+    assert time.time() - t0 < 30, "gzip member walk is quadratic again"
+
+
 def test_warc_by_lang_bounded_equals_unbounded(spark, sf_dir, monkeypatch):
     # The (lang, bucket) bounded-archive grouping and the naive
     # one-group-per-lang form (measurement-only knob) must emit the
