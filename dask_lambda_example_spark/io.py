@@ -165,6 +165,32 @@ def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
     return len(seen)
 
 
+def parquet_column_values(sf_dir: str, name: str, column: str) -> list:
+    """Sorted distinct values of ONE small-cardinality column, read
+    driver-locally with pyarrow — the value-level sibling of
+    ``parquet_column_ndv`` (same contract, same ADVICE r4 no-job rule:
+    operators that bake a small code/label domain into a generated
+    expression need the values, not just the count). Only appropriate
+    for columns whose table fits a driver read; at real scale this list
+    IS configuration or comes from catalog stats."""
+    import pathlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    files = ([p] if p.is_file()
+             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet data for table {name!r} under {sf_dir!r}")
+    seen: set = set()
+    for f in files:
+        col = pq.read_table(f, columns=[column])[column]
+        seen.update(pc.unique(col).to_pylist())
+    return sorted(seen)
+
+
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
     """Cheap CONTENT fingerprint of one driver table — (name, size,
     mtime_ns) per file, a driver-local stat with NO Spark job. Memo

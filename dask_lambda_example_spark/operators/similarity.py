@@ -972,7 +972,86 @@ def sim_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PQ_M = 8          # subspaces; dim 64 → 8 dims per subspace
+PQ_DSUB = 64 // PQ_M
 PQ_TOPK = IVF_K   # neighbors returned per probe
+
+
+def _pq_subspace_explode(e: DataFrame) -> DataFrame:
+    """(vec_id, label, pos 1-based, m, val) — the exploded form the
+    codebook aggregation and the PROBE-side distance tables run over.
+    The corpus-side encode deliberately does NOT use this (see
+    ``_pq_codes_projection``)."""
+    return (e.select("vec_id", "label",
+                     F.posexplode("emb").alias("pos0", "val"))
+             .select("vec_id", "label",
+                     (F.col("pos0") + 1).alias("pos"),
+                     (F.col("pos0") / PQ_DSUB).cast("int").alias("m"),
+                     "val"))
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(code, m, pos, cval): per-label mean subvectors — the
+    deterministic stand-in for trained k-means codebooks (the
+    sim_ivf_centroids discipline). One partial+final aggregation over
+    n_codes × dim groups regardless of corpus size."""
+    return (sub.groupBy(F.col("label").alias("code"), "m", "pos")
+               .agg(F.avg("val").alias("cval")))
+
+
+def _pq_probe_d2(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Probe-side per-(subspace, code) squared distances — the ADC
+    distance tables. Exploded + grouped like the oracle, but ONLY over
+    the bounded probe set (|probes| × d × n_codes rows, trivial)."""
+    diff = F.col("val") - F.col("cval")
+    return (sub.filter(_probe_filter())
+               .join(F.broadcast(cb), ["m", "pos"])
+               .groupBy("vec_id", "m", "code")
+               .agg(F.sum(diff * diff).alias("d2")))
+
+
+def _pq_codes_projection(e: DataFrame, cb: DataFrame,
+                         code_values: list) -> DataFrame:
+    """Corpus PQ encode as ONE whole-stage-codegen projection — no
+    explode, no join, no shuffle: for each subspace, the argmin over
+    codebook entries of the in-order squared-L2 fold between the
+    embedding's subvector slice and the (broadcast, map-packed)
+    codebook subvector. The first cut encoded relationally — explode
+    to n×d rows, join ×n_codes, re-group to n×M — i.e. 320 M
+    intermediate rows at sf10 for what is per-row arithmetic; this
+    projection IS the per-row arithmetic. ``code_values`` comes from a
+    driver-local footer/column read (``parquet_column_values``), never
+    a Spark job at plan-build time. Ties broken toward the smaller
+    code (strict <), matching the row_number (d2, code) ordering the
+    oracle uses."""
+    cb_arr = (cb.groupBy("m", "code")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"]).alias("cvec")))
+    cbm = cb_arr.agg(F.map_from_arrays(
+        F.collect_list((F.col("m") * 256 + F.col("code")).cast("int")),
+        F.collect_list("cvec")).alias("cbm"))
+
+    def dist(m: int, c: int):
+        subvec = F.slice(F.col("emb"), m * PQ_DSUB + 1, PQ_DSUB)
+        cvec = F.element_at(F.col("cbm"), F.lit(m * 256 + c).cast("int"))
+        return F.aggregate(
+            F.zip_with(subvec, cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, v: a + v)
+
+    def best_code(m: int):
+        # argmin via array_sort over (d, code) structs — struct order IS
+        # the (d2 asc, code asc) tie-break the oracle's row_number uses.
+        # NOT a when-chain: each when re-embeds the whole previous tree
+        # twice, which is EXPONENTIAL in n_codes (measured: 43 MiB task
+        # binaries at 10 codes); here every dist appears exactly once.
+        return F.element_at(F.array_sort(F.array(*[
+            F.struct(dist(m, int(c)).alias("d"),
+                     F.lit(int(c)).cast("int").alias("c"))
+            for c in code_values])), 1)["c"]
+
+    codes = F.array(*[best_code(m) for m in range(PQ_M)])
+    return (e.crossJoin(F.broadcast(cbm))
+             .select("vec_id", "label", codes.alias("codes")))
 
 
 def _pq_adc_oracle() -> str:
@@ -1046,34 +1125,44 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches n_probe/n_cells of THAT — the standard IVF-PQ composition.
     L2 metric (PQ's native space); for cosine, L2-normalize upstream.
     """
+    from dask_lambda_example_spark.io import parquet_column_values
+
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    dsub = 64 // PQ_M
-    sub = (e.select("vec_id", "label",
-                    F.posexplode("emb").alias("pos0", "val"))
-            .select("vec_id", "label",
-                    (F.col("pos0") + 1).alias("pos"),
-                    (F.col("pos0") / dsub).cast("int").alias("m"),
-                    "val"))
+    sub = _pq_subspace_explode(e)
+    cb = _pq_codebook(sub)
 
-    cb = (sub.groupBy(F.col("label").alias("code"), "m", "pos")
-             .agg(F.avg("val").alias("cval")))
+    # Corpus encode: one codegen'd projection (argmin over broadcast
+    # codebook subvectors), no explode/join/shuffle — see
+    # _pq_codes_projection for why the relational form was replaced.
+    codes_wide = _pq_codes_projection(
+        e, cb, parquet_column_values(sf_dir, "embeddings", "label")
+    ).select("vec_id", "codes")
 
-    diff = F.col("val") - F.col("cval")
-    d2 = (sub.join(F.broadcast(cb), ["m", "pos"])
-             .groupBy("vec_id", "m", "code")
-             .agg(F.sum(diff * diff).alias("d2")))
-
-    wcode = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    codes = (d2.withColumn("rn", F.row_number().over(wcode))
-               .filter(F.col("rn") == 1).select("vec_id", "m", "code"))
-
-    dt = (d2.filter(_probe_filter())
-            .select(F.col("vec_id").alias("query_id"), "m", "code", "d2"))
-    adc = (codes.join(F.broadcast(dt), ["m", "code"])
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-                .agg(F.sum("d2").alias("ad2")))
+    # ADC as a broadcast MAP-LOOKUP FOLD, not a join+re-aggregation:
+    # the first cut joined corpus code rows to probe distance-table
+    # rows on (m, code) and re-grouped — n×M×|probes| intermediate rows
+    # through a hash aggregate (320M rows / 40M groups at sf10, 67.8s).
+    # Real ADC is 8 table lookups per (probe, vector); expressing it
+    # that way — codes collapsed to one array per vector, each probe's
+    # distance table broadcast as a map, Σ_m dt[m·256+code_m] folded in
+    # whole-stage codegen — leaves NOTHING to shuffle after the encode
+    # stage and scans |probes|×n rows once.
+    dtm = (_pq_probe_d2(sub, cb)
+           .groupBy(F.col("vec_id").alias("query_id"))
+           .agg(F.map_from_arrays(
+               F.collect_list((F.col("m") * 256 + F.col("code"))
+                              .cast("int")),
+               F.collect_list("d2")).alias("dt")))
+    ad2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("dt"), (m * 256 + F.element_at(F.col("codes"), m + 1))
+            .cast("int")))
+    adc = (codes_wide
+           .join(F.broadcast(dtm), F.col("vec_id") != F.col("query_id"))
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   ad2.alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     return (adc.withColumn("rank", F.row_number().over(wrank))
@@ -1222,28 +1311,14 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan whose two dials the recall reports price: n_probe
     (``sim_ivf_recall_multiprobe``) and PQ_M (``sim_pq_recall_report``).
     """
+    from dask_lambda_example_spark.io import parquet_column_values
+
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    dsub = 64 // PQ_M
-    sub = (e.select("vec_id", "label",
-                    F.posexplode("emb").alias("pos0", "val"))
-            .select("vec_id", "label",
-                    (F.col("pos0") + 1).alias("pos"),
-                    (F.col("pos0") / dsub).cast("int").alias("m"),
-                    "val"))
-    cb = (sub.groupBy(F.col("label").alias("code"), "m", "pos")
-             .agg(F.avg("val").alias("cval")))
-    diff = F.col("val") - F.col("cval")
-    d2 = (sub.join(F.broadcast(cb), ["m", "pos"])
-             .groupBy("vec_id", "m", "code")
-             .agg(F.sum(diff * diff).alias("d2")))
-
-    wcode = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    codes = (d2.withColumn("rn", F.row_number().over(wcode))
-               .filter(F.col("rn") == 1).select("vec_id", "m", "code"))
-
-    pdt = (d2.filter(_probe_filter())
-             .select(F.col("vec_id").alias("query_id"), "m", "code", "d2"))
+    sub = _pq_subspace_explode(e)
+    cb = _pq_codebook(sub)
+    pdt = (_pq_probe_d2(sub, cb)
+           .select(F.col("vec_id").alias("query_id"), "m", "code", "d2"))
     wcell = Window.partitionBy("query_id").orderBy("cd2", "code")
     assigned = (pdt.groupBy("query_id", "code")
                    .agg(F.sum("d2").alias("cd2"))
@@ -1251,14 +1326,30 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .filter(F.col("rn") <= IVFPQ_PROBE_CELLS)
                    .select("query_id", F.col("code").alias("cell")))
 
-    vlabel = e.select("vec_id", F.col("label").alias("cell"))
-    cell_codes = codes.join(vlabel, "vec_id")
-    adc = (cell_codes
-           .join(F.broadcast(pdt), ["m", "code"])
-           .join(F.broadcast(assigned), ["query_id", "cell"])
+    # cell-pruned ADC as broadcast equi-joins + a codegen'd map-lookup
+    # fold (see sim_pq_adc_search): assigned cells restrict WHICH code
+    # rows are scanned, the probe's distance-table map scores them —
+    # every join here is a broadcast equi-join, nothing shuffles after
+    # the encode projection.
+    codes_wide = _pq_codes_projection(
+        e, cb, parquet_column_values(sf_dir, "embeddings", "label")
+    ).select("vec_id", F.col("label").alias("cell"), "codes")
+    dtm = (pdt.groupBy("query_id")
+              .agg(F.map_from_arrays(
+                  F.collect_list((F.col("m") * 256 + F.col("code"))
+                                 .cast("int")),
+                  F.collect_list("d2")).alias("dt")))
+    ad2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("dt"), (m * 256 + F.element_at(F.col("codes"), m + 1))
+            .cast("int")))
+    adc = (codes_wide
+           .join(F.broadcast(assigned), ["cell"])
+           .join(F.broadcast(dtm), ["query_id"])
            .filter(F.col("vec_id") != F.col("query_id"))
-           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-           .agg(F.sum("d2").alias("ad2")))
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   ad2.alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     return (adc.withColumn("rank", F.row_number().over(wrank))

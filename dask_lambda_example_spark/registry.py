@@ -89,6 +89,10 @@ PRIORITY_QUERIES = (
     # audit in PQ's native L2 metric, and the composed IVF-PQ search
     # (cell-pruned ADC — the FAISS-style billion-scale path)
     "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
+    # round-9 new: two-dimensional Z-order (Morton) clustering with a
+    # footer-verified both-dims-prune contract — the multi-column
+    # sibling of fmt_range_sorted_layout
+    "fmt_zorder_layout",
     # round-9 materially changed (REVERIFY): the theta dispatcher's
     # estimate is now JOB-FREE (footer rowcount bound + memoized
     # driver-local pyarrow column read, ADVICE r8) — same dispatch

@@ -451,3 +451,142 @@ def fmt_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 6).cast("float")
         .alias("sum_price"),
     )
+
+
+N_ZORDER_FILES = 16
+ZORDER_BITS = 16        # bits per dimension; 2x16 = 32-bit z fits a long
+
+
+def _footer_minmax(sf_dir: str, table: str, column: str) -> tuple[int, int]:
+    """Global (min, max) of one column from parquet FOOTER statistics —
+    driver-local, no Spark job (the parquet_rowcount discipline)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{table}.parquet"
+    files = ([p] if p.is_file()
+             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet data for table {table!r} under {sf_dir!r}")
+    lo, hi = None, None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(column)
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
+def zorder_key(a, a_range: tuple[int, int], b, b_range: tuple[int, int],
+               n_bits: int = ZORDER_BITS):
+    """Morton/Z-order interleave of two int columns as ONE JVM bitwise
+    expression (no UDF): bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1. Each column is first NORMALIZED to the full n_bits
+    range using its (min, max) — without this, the column with the
+    wider raw domain owns every high bit and the interleave degenerates
+    to a linear sort on it (the classic Z-order pitfall; Delta's
+    OPTIMIZE ZORDER normalizes via per-column range-partition ids the
+    same way). Built by a Python loop over bit positions but evaluated
+    entirely in whole-stage codegen."""
+    top = (1 << n_bits) - 1
+
+    def norm(col, rng):
+        lo, hi = rng
+        return ((col.cast("long") - F.lit(int(lo))) * top
+                / F.lit(max(int(hi) - int(lo), 1))).cast("long")
+
+    an, bn = norm(a, a_range), norm(b, b_range)
+    z = F.lit(0).cast("long")
+    for i in range(n_bits):
+        z = (z
+             .bitwiseOR(F.shiftleft(F.shiftright(an, i)
+                                    .bitwiseAND(F.lit(1)), 2 * i))
+             .bitwiseOR(F.shiftleft(F.shiftright(bn, i)
+                                    .bitwiseAND(F.lit(1)), 2 * i + 1)))
+    return z
+
+
+@query(
+    "fmt_zorder_layout",
+    oracle=f"""
+    SELECT CAST(1 AS BOOLEAN) AS both_dims_prune,
+           {N_ZORDER_FILES} AS n_files,
+           count(*) AS n_rows,
+           CAST(round(sum(l_extendedprice), 6) AS REAL) AS sum_price
+    FROM lineitem
+    """,
+)
+def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-dimensional sort clustering: Z-order (Morton) layout on
+    (l_partkey, l_suppkey) — the multi-column sibling of
+    ``fmt_range_sorted_layout``. A linear sort makes footer zone maps
+    tight on ONE column and useless on every other; interleaving the
+    two keys' bits makes each file cover a quad-tree block of the 2-D
+    key space, so min/max footer stats are tight on BOTH columns and a
+    predicate on EITHER key skips most files. This is the
+    Delta/Iceberg `OPTIMIZE ZORDER BY` clustering rewrite, built from
+    Spark primitives: a codegen'd bit-interleave expression +
+    ``repartitionByRange`` on the z-value + ``sortWithinPartitions``.
+
+    The contract is measured from the parquet footers, not asserted
+    from theory: for the central 10% band of each dimension's domain,
+    the fraction of files whose per-file [min, max] excludes the band
+    must be ≥ 25% for BOTH dimensions (with 16 files ~ a 4x4 quad
+    grid, the expected skip is ~75% per dimension; a linear sort gives
+    ~94% on its own column and 0% on the other). Violations raise —
+    the oracle row additionally pins bit-level data preservation.
+    At 100 TB this is the nightly clustering rewrite that serves range
+    scans on two access paths from one copy of the data."""
+    import pyarrow.parquet as pq
+
+    path = _dir("zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+    pk_rng = _footer_minmax(sf_dir, "lineitem", "l_partkey")
+    sk_rng = _footer_minmax(sf_dir, "lineitem", "l_suppkey")
+    (li.withColumn("z", zorder_key(F.col("l_partkey"), pk_rng,
+                                   F.col("l_suppkey"), sk_rng))
+       .repartitionByRange(N_ZORDER_FILES, "z")
+       .sortWithinPartitions("z")
+       .drop("z")
+       .write.mode("overwrite").parquet(path))
+
+    local = path.removeprefix("file://")
+    spans: dict[str, list[tuple[int, int]]] = {"l_partkey": [],
+                                               "l_suppkey": []}
+    for f in sorted(os.listdir(local)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(local, f))
+        for col, acc in spans.items():
+            idx = md.schema.names.index(col)
+            acc.append((
+                min(md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)),
+                max(md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups))))
+    n_files = len(spans["l_partkey"])
+    for col, acc in spans.items():
+        lo = min(s[0] for s in acc)
+        hi = max(s[1] for s in acc)
+        band_lo = lo + (hi - lo) * 45 // 100
+        band_hi = lo + (hi - lo) * 55 // 100
+        skipped = sum(1 for s in acc if s[1] < band_lo or s[0] > band_hi)
+        if skipped < n_files * 0.25:
+            raise ValueError(
+                f"z-order zone maps too loose on {col}: only "
+                f"{skipped}/{n_files} files skippable for the central "
+                f"band [{band_lo}, {band_hi}]")
+
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.lit(True).alias("both_dims_prune"),
+        F.lit(n_files).alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 6).cast("float")
+        .alias("sum_price"),
+    )

@@ -694,16 +694,32 @@ def test_sim_search_auto_dispatch(spark, sf_dir):
 
 
 def test_pq_adc_scan_broadcasts_and_never_cartesians(spark, sf_dir):
-    # PQ's whole point is that the corpus side stays put: codebooks and
-    # the per-probe distance tables are the broadcast sides, the ADC
-    # join is an equi-join on (m, code) — never a cartesian — and the
-    # full-width embedding column must not appear past the encode stage
-    # (the scan that ranks neighbors reads codes, not vectors).
-    from dask_lambda_example_spark.plans.inspect import physical_plan
-
+    # PQ's whole point is that the corpus side stays put: the per-probe
+    # distance-table maps broadcast against the code table (the
+    # |probes| x n scan is the deliberate brute-force-over-CODES shape,
+    # same as sim_cosine_topk_bruteforce's probe x corpus join), never
+    # a CartesianProduct, and after the encode stage there is no
+    # shuffle at all — the ADC sum is a codegen'd map-lookup fold.
     df = QUERIES["sim_pq_adc_search"].fn(spark, sf_dir)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_ivfpq_scan_is_all_equijoins(spark, sf_dir):
+    # the cell-pruned composition tightens the contract further: the
+    # assigned-cells and distance-table joins are broadcast EQUI-joins,
+    # so the scan never visits a code row outside the probe's cells.
+    # The ONLY nested-loop join allowed is the 1-row codebook-map
+    # attach (crossJoin of the broadcast single-row cbm in the encode
+    # projection — a build side of exactly one row); any other BNLJ
+    # would mean the scan itself degenerated.
+    import re
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_ivfpq_search"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
     plan = physical_plan(df)
-    # the final ranking exchange carries scalar distances only
-    assert "BroadcastNestedLoopJoin" not in plan
+    bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert all("Cross" in b for b in bnlj) and len(bnlj) <= 1, bnlj
