@@ -110,6 +110,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def table_files(sf_dir: str, name: str, pattern: str = "*.parquet") -> list:
+    """List one driver table's files — single-file or directory-of-parts
+    layout — failing LOUDLY on a missing/empty table. Every driver-local
+    footer/column helper below goes through this one listing so a layout
+    change (hive subdirs, success-marker filtering) has exactly one home,
+    and so no caller can silently treat a typo'd table name as empty
+    (ADVICE r5; review r9 found six divergent copies of this walk)."""
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    files = ([p] if p.is_file()
+             else sorted(f for f in p.rglob(pattern) if f.is_file())
+             if p.is_dir() else [])
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet data for table {name!r} under {sf_dir!r}")
+    return files
+
+
 def parquet_rowcount(sf_dir: str, name: str) -> int:
     """Exact row count of one driver table from parquet FOOTER metadata —
     a driver-local file-stat read, NO Spark job. Operators that size an
@@ -118,24 +137,14 @@ def parquet_rowcount(sf_dir: str, name: str) -> int:
     CONSTRUCTING their DataFrame never launches a job (ADVICE r4: eager
     actions at plan-build time break plan inspection and composition).
     On a real cluster the same number comes from the table catalog /
-    manifest; footer num_rows is the file-system-only equivalent."""
-    import pathlib
-
+    manifest; footer num_rows is the file-system-only equivalent. A
+    missing path or empty directory FAILS (ADVICE r5): a typo'd table
+    name silently picking the small-scale configuration is the worst
+    failure mode."""
     import pyarrow.parquet as pq
 
-    p = pathlib.Path(sf_dir) / f"{name}.parquet"
-    if p.is_file():
-        return pq.ParquetFile(p).metadata.num_rows
-    # directory-of-parts layout (partitioned writes). A missing path or
-    # an empty directory must FAIL here, not return 0: callers size
-    # adaptive knobs (blocking bits, broadcast-vs-shuffle dispatch) from
-    # this number, and a typo'd table name silently picking the
-    # small-scale configuration is the worst failure mode (ADVICE r5).
-    parts = sorted(p.rglob("*.parquet")) if p.is_dir() else []
-    if not parts:
-        raise FileNotFoundError(
-            f"no parquet data for table {name!r} under {sf_dir!r}")
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in table_files(sf_dir, name))
 
 
 def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
@@ -147,22 +156,17 @@ def parquet_column_ndv(sf_dir: str, name: str, column: str) -> int:
     count — or comes from catalog/NDV statistics; reading the column is
     the file-system-only stand-in and is only appropriate for columns
     whose table fits a driver read."""
-    import pathlib
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    p = pathlib.Path(sf_dir) / f"{name}.parquet"
-    files = ([p] if p.is_file()
-             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
-    if not files:  # same contract as parquet_rowcount (ADVICE r5)
-        raise FileNotFoundError(
-            f"no parquet data for table {name!r} under {sf_dir!r}")
     seen: set = set()
-    for f in files:
+    for f in table_files(sf_dir, name):
         col = pq.read_table(f, columns=[column])[column]
         seen.update(pc.unique(col).to_pylist())
     return len(seen)
+
+
+_COLUMN_VALUES_CACHE: dict[tuple, list] = {}
 
 
 def parquet_column_values(sf_dir: str, name: str, column: str) -> list:
@@ -170,25 +174,23 @@ def parquet_column_values(sf_dir: str, name: str, column: str) -> list:
     driver-locally with pyarrow — the value-level sibling of
     ``parquet_column_ndv`` (same contract, same ADVICE r4 no-job rule:
     operators that bake a small code/label domain into a generated
-    expression need the values, not just the count). Only appropriate
-    for columns whose table fits a driver read; at real scale this list
-    IS configuration or comes from catalog stats."""
-    import pathlib
-
+    expression need the values, not just the count). Memoized per
+    (sf_dir, column, table fingerprint) — the _MERGE_CACHE pattern —
+    because callers rebuild their plans repeatedly per battery run and
+    the read is a full-column driver scan. Only appropriate for columns
+    whose table fits a driver read; at real scale this list IS
+    configuration or comes from catalog stats."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    p = pathlib.Path(sf_dir) / f"{name}.parquet"
-    files = ([p] if p.is_file()
-             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
-    if not files:
-        raise FileNotFoundError(
-            f"no parquet data for table {name!r} under {sf_dir!r}")
-    seen: set = set()
-    for f in files:
-        col = pq.read_table(f, columns=[column])[column]
-        seen.update(pc.unique(col).to_pylist())
-    return sorted(seen)
+    key = (sf_dir, name, column, table_fingerprint(sf_dir, name))
+    if key not in _COLUMN_VALUES_CACHE:
+        seen: set = set()
+        for f in table_files(sf_dir, name):
+            col = pq.read_table(f, columns=[column])[column]
+            seen.update(pc.unique(col).to_pylist())
+        _COLUMN_VALUES_CACHE[key] = sorted(seen)
+    return _COLUMN_VALUES_CACHE[key]
 
 
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
@@ -199,17 +201,8 @@ def table_fingerprint(sf_dir: str, name: str) -> tuple:
     include this alongside the path. Fails loudly on a missing table —
     same contract as ``parquet_rowcount`` (ADVICE r5/r8): a typo'd name
     silently degrading the cache key to path-only is the worst mode."""
-    import pathlib
-
-    p = pathlib.Path(sf_dir) / f"{name}.parquet"
-    files = ([p] if p.is_file()
-             else sorted(f for f in p.rglob("*") if f.is_file())
-             if p.is_dir() else [])
-    if not files:
-        raise FileNotFoundError(
-            f"no parquet data for table {name!r} under {sf_dir!r}")
     return tuple((f.name, (st := f.stat()).st_size, st.st_mtime_ns)
-                 for f in files)
+                 for f in table_files(sf_dir, name, pattern="*"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

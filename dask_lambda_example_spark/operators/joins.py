@@ -335,23 +335,26 @@ def _theta_pair_estimate(sf_dir: str,
         return n * n
     key = (sf_dir, table_fingerprint(sf_dir, "part"))
     if key not in _THETA_EST_CACHE:
-        import collections
-        import pathlib
-
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        p = pathlib.Path(sf_dir) / "part.parquet"
-        files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
-        n_b: collections.Counter = collections.Counter()
-        n_small_b: collections.Counter = collections.Counter()
-        for f in files:
-            t = pq.read_table(f, columns=["p_brand", "p_size"])
-            brands = t["p_brand"].to_pylist()
-            sizes = t["p_size"].to_pylist()
-            n_b.update(brands)
-            n_small_b.update(b for b, s in zip(brands, sizes) if s <= 2)
-        _THETA_EST_CACHE[key] = sum(
-            c * n_b[b] for b, c in n_small_b.items())
+        from dask_lambda_example_spark.io import table_files
+
+        # Arrow-native aggregation end to end (review r9): .to_pylist()
+        # + a Python Counter loop materializes ~2 rows' worth of Python
+        # objects per row — several GB and tens of driver seconds near
+        # the 20M-row read cap; group_by().aggregate() stays columnar.
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["p_brand", "p_size"])
+            for f in table_files(sf_dir, "part"))
+        per_brand = (t.append_column(
+            "is_small", pc.less_equal(t["p_size"], 2))
+            .group_by("p_brand")
+            .aggregate([("is_small", "sum"), ("p_size", "count")]))
+        small = per_brand["is_small_sum"].to_numpy(zero_copy_only=False)
+        total = per_brand["p_size_count"].to_numpy(zero_copy_only=False)
+        _THETA_EST_CACHE[key] = int((small * total).sum())
     return _THETA_EST_CACHE[key]
 
 def _theta_agg_oracle() -> str:

@@ -66,9 +66,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # six rows-only queries (no oracle → the driver records only that they
 # ran; that weak signal is re-earned EVERY round, since a
 # no-correctness-signal row never marks a query verified — ADVICE r3),
-# the round-9 addition, and the REVERIFY name whose dispatch estimate
-# was rewritten after its green row. The ~42 surplus window slots
-# (50 minus the 8-name curated head) auto-fill with the
+# the round-9 additions, and the REVERIFY name whose dispatch estimate
+# was rewritten after its green row. The ~38 surplus window slots
+# (50 minus the 12-name curated head) auto-fill with the
 # STALEST-verified names — regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (

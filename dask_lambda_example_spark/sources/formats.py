@@ -459,23 +459,26 @@ ZORDER_BITS = 16        # bits per dimension; 2x16 = 32-bit z fits a long
 
 def _footer_minmax(sf_dir: str, table: str, column: str) -> tuple[int, int]:
     """Global (min, max) of one column from parquet FOOTER statistics —
-    driver-local, no Spark job (the parquet_rowcount discipline)."""
-    import pathlib
-
+    driver-local, no Spark job (the parquet_rowcount discipline). Fails
+    loudly when a row group carries no statistics for the column (a
+    stats-disabled writer): callers bake these bounds into generated
+    expressions, and None silently becoming the normalization range is
+    the worst mode."""
     import pyarrow.parquet as pq
 
-    p = pathlib.Path(sf_dir) / f"{table}.parquet"
-    files = ([p] if p.is_file()
-             else sorted(p.rglob("*.parquet")) if p.is_dir() else [])
-    if not files:
-        raise FileNotFoundError(
-            f"no parquet data for table {table!r} under {sf_dir!r}")
+    from dask_lambda_example_spark.io import table_files
+
     lo, hi = None, None
-    for f in files:
+    for f in table_files(sf_dir, table):
         md = pq.read_metadata(f)
         idx = md.schema.names.index(column)
         for i in range(md.num_row_groups):
             st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"no min/max statistics for column {column!r} in "
+                    f"{f} row group {i} — cannot derive z-order "
+                    f"normalization bounds")
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
     return lo, hi
@@ -564,11 +567,13 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         md = pq.read_metadata(os.path.join(local, f))
         for col, acc in spans.items():
             idx = md.schema.names.index(col)
-            acc.append((
-                min(md.row_group(i).column(idx).statistics.min
-                    for i in range(md.num_row_groups)),
-                max(md.row_group(i).column(idx).statistics.max
-                    for i in range(md.num_row_groups))))
+            sts = [md.row_group(i).column(idx).statistics
+                   for i in range(md.num_row_groups)]
+            if any(st is None or not st.has_min_max for st in sts):
+                raise ValueError(f"written z-order file {f} lacks "
+                                 f"min/max statistics for {col!r}")
+            acc.append((min(st.min for st in sts),
+                        max(st.max for st in sts)))
     n_files = len(spans["l_partkey"])
     for col, acc in spans.items():
         lo = min(s[0] for s in acc)

@@ -189,9 +189,10 @@ def parse_warc_gz(raw: bytes) -> list[dict]:
     return records
 
 
-@query(
-    "src_warc_scan",
-    oracle="""
+# Shared read-side contract of BOTH WARC queries (the archive grouping
+# key never leaks into the output, so the oracle is grouping-independent
+# and one copy serves both @query registrations — review r9).
+_WARC_SCAN_ORACLE = """
     SELECT doc_id,
            'http://example.com/doc/' || doc_id                  AS uri,
            200                                                  AS http_status,
@@ -199,8 +200,12 @@ def parse_warc_gz(raw: bytes) -> list[dict]:
            md5(text || chr(13) || chr(10) || chr(13) || chr(10)
                || text)                                         AS payload_md5
     FROM documents
-    """,
-)
+    """
+_WARC_SCAN_SCHEMA = ("doc_id long, uri string, http_status int, "
+                     "n_payload_bytes long, payload_md5 string")
+
+
+@query("src_warc_scan", oracle=_WARC_SCAN_ORACLE)
 def src_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-archive ingestion end to end: stage 1 groups documents
     into per-``file_id`` genuine ``.warc.gz`` archives (warcinfo +
@@ -240,10 +245,7 @@ def src_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     archives = (d.groupBy("file_id")
                  .applyInPandas(build, "file_id long, warc binary"))
 
-    return archives.mapInPandas(
-        _scan_warc_archives,
-        "doc_id long, uri string, http_status int, n_payload_bytes long, "
-        "payload_md5 string")
+    return archives.mapInPandas(_scan_warc_archives, _WARC_SCAN_SCHEMA)
 
 
 def _scan_warc_archives(batches: Iterator[pd.DataFrame]
@@ -270,22 +272,7 @@ def _scan_warc_archives(batches: Iterator[pd.DataFrame]
         yield pd.DataFrame(rows)
 
 
-_WARC_SCAN_SCHEMA = ("doc_id long, uri string, http_status int, "
-                     "n_payload_bytes long, payload_md5 string")
-
-
-@query(
-    "src_warc_by_lang_scan",
-    oracle="""
-    SELECT doc_id,
-           'http://example.com/doc/' || doc_id                  AS uri,
-           200                                                  AS http_status,
-           CAST(2 * strlen(text) + 4 AS BIGINT)                 AS n_payload_bytes,
-           md5(text || chr(13) || chr(10) || chr(13) || chr(10)
-               || text)                                         AS payload_md5
-    FROM documents
-    """,
-)
+@query("src_warc_by_lang_scan", oracle=_WARC_SCAN_ORACLE)
 def src_warc_by_lang_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC build/scan with a DATA-DRIVEN archive key — one corpus of
     archives per ``lang``, the way real crawl exports shard by domain

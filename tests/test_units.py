@@ -374,12 +374,15 @@ def test_warc_by_lang_bounded_equals_unbounded(spark, sf_dir, monkeypatch):
     # CI; its scale role is the skew-tier straggler measurement.
     from dask_lambda_example_spark.registry import QUERIES
 
+    from dask_lambda_example_spark.io import parquet_rowcount
+
     fn = QUERIES["src_warc_by_lang_scan"].fn
     monkeypatch.delenv("SPARK_GRAFT_WARC_LANG_UNBOUNDED", raising=False)
     bounded = {tuple(r) for r in fn(spark, sf_dir).collect()}
     monkeypatch.setenv("SPARK_GRAFT_WARC_LANG_UNBOUNDED", "1")
     unbounded = {tuple(r) for r in fn(spark, sf_dir).collect()}
-    assert bounded == unbounded and len(bounded) == 500
+    assert bounded == unbounded
+    assert len(bounded) == parquet_rowcount(sf_dir, "documents")
 
 
 def test_bpe_train_matches_reference(spark, sf_dir):
