@@ -93,6 +93,10 @@ PRIORITY_QUERIES = (
     # footer-verified both-dims-prune contract — the multi-column
     # sibling of fmt_range_sorted_layout
     "fmt_zorder_layout",
+    # round-9 new: blocked edit-distance fuzzy join (the short-string
+    # dedup regime MinHash is too coarse for); blocking replicated in
+    # the oracle, levenshtein JVM-side inside blocks only
+    "dedup_fuzzy_title_pairs",
     # round-9 materially changed (REVERIFY): the theta dispatcher's
     # estimate is now JOB-FREE (footer rowcount bound + memoized
     # driver-local pyarrow column read, ADVICE r8) — same dispatch
