@@ -348,10 +348,17 @@ def _theta_pair_estimate(sf_dir: str,
         t = pa.concat_tables(
             pq.read_table(f, columns=["p_brand", "p_size"])
             for f in table_files(sf_dir, "part"))
+        # full-side count must include null-p_size rows (the enum
+        # branch's p2 is unfiltered), so mode="all" — the default
+        # valid-only count would undercount Σ_brand small×full on data
+        # with null sizes (ADVICE r9). The small side is correct
+        # null-excluding: the enum branch filters p_size <= 2, which
+        # drops nulls, and sum(is_small) skips them identically.
         per_brand = (t.append_column(
             "is_small", pc.less_equal(t["p_size"], 2))
             .group_by("p_brand")
-            .aggregate([("is_small", "sum"), ("p_size", "count")]))
+            .aggregate([("is_small", "sum"),
+                        ("p_size", "count", pc.CountOptions(mode="all"))]))
         small = per_brand["is_small_sum"].to_numpy(zero_copy_only=False)
         total = per_brand["p_size_count"].to_numpy(zero_copy_only=False)
         _THETA_EST_CACHE[key] = int((small * total).sum())

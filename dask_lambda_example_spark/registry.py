@@ -67,9 +67,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # ran; that weak signal is re-earned EVERY round, since a
 # no-correctness-signal row never marks a query verified — ADVICE r3),
 # the round-9 additions, and the REVERIFY name whose dispatch estimate
-# was rewritten after its green row. The ~38 surplus window slots
-# (50 minus the 12-name curated head) auto-fill with the
-# STALEST-verified names — regression detection. tests/test_units.py::
+# was rewritten after its green row: 13 names, leaving ~37 surplus
+# window slots that auto-fill with the STALEST-verified names —
+# regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —

@@ -693,6 +693,34 @@ def test_sim_search_auto_dispatch(spark, sf_dir):
     assert ranks and max(ranks) <= TOP_K
 
 
+def test_pagerank_auto_dispatch(spark, sf_dir):
+    # VERDICT r9 item 1: the PageRank dispatcher, like every other
+    # auto name, must be pinned on the PHYSICAL plan. Below
+    # PR_BROADCAST_MAX_NODES the iteration joins broadcast the
+    # |nodes|-sized rank/degree vectors (BroadcastHashJoin, zero
+    # shuffled-hash joins); above it the co-partitioned formulation
+    # takes over — every iteration join is a sort-free
+    # ShuffledHashJoin against the once-partitioned edge list and
+    # NOTHING is broadcast (a billion-node rank vector must never be
+    # an executor-local copy).
+    from dask_lambda_example_spark.operators.graph import pagerank_auto
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    naive_df = pagerank_auto(spark, sf_dir)  # sf0.001 << 1e8 nodes
+    naive = physical_plan(naive_df)
+    assert "BroadcastHashJoin" in naive, naive[:2000]
+    assert "ShuffledHashJoin" not in naive, naive[:2000]
+
+    scale_df = pagerank_auto(spark, sf_dir, max_broadcast_nodes=0)
+    scale = physical_plan(scale_df)
+    assert "ShuffledHashJoin" in scale, scale[:2000]
+    assert "BroadcastHashJoin" not in scale, scale[:2000]
+    assert "SortMergeJoin" not in scale, scale[:2000]
+
+    # same output contract on both sides of the threshold
+    assert scale_df.columns == naive_df.columns
+
+
 def test_pq_adc_scan_broadcasts_and_never_cartesians(spark, sf_dir):
     # PQ's whole point is that the corpus side stays put: the per-probe
     # distance-table maps broadcast against the code table (the

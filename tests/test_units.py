@@ -344,19 +344,43 @@ def test_tar_archive_roundtrip_is_deterministic():
             assert m.mtime == 0 and m.uid == 0
 
 
-def test_warc_member_walk_is_linear_in_member_count():
+def test_warc_member_walk_is_linear_in_member_count(monkeypatch):
     # Regression pin for the round-9 quadratic: the gzip-member walk
     # must not copy the remaining archive once per member (unused_data
     # resliced per iteration). 20k members parse in ~1s linear; the
     # quadratic form took minutes — the 30s bound has ~30x margin on
     # the fix while catching any reintroduction at this member count
-    # (real Common Crawl WARCs carry ~50k records).
+    # (real Common Crawl WARCs carry ~50k records). The wall-clock
+    # bound alone is an indirect pin (slow CI could trip a linear walk,
+    # fast hardware could pass a mildly quadratic one — ADVICE r9), so
+    # the MECHANISM is asserted too: every buffer fed to a
+    # decompressobj stays bounded by the 1 MiB streaming chunk, i.e.
+    # the carry between members never grows to "the rest of the
+    # archive" (the quadratic form fed ~len(raw) bytes per member).
     import time
+    import zlib
 
     from dask_lambda_example_spark.sources.warc import (
         make_warc_gz_bytes,
         parse_warc_gz,
     )
+
+    max_fed = 0
+    real_decompressobj = zlib.decompressobj
+
+    class _Recorder:
+        def __init__(self, *a, **kw):
+            self._d = real_decompressobj(*a, **kw)
+
+        def decompress(self, data, *a):
+            nonlocal max_fed
+            max_fed = max(max_fed, len(data))
+            return self._d.decompress(data, *a)
+
+        def __getattr__(self, name):
+            return getattr(self._d, name)
+
+    monkeypatch.setattr(zlib, "decompressobj", _Recorder)
 
     n = 20_000
     raw = make_warc_gz_bytes(list(range(n)), ["x" * 400] * n)
@@ -364,6 +388,9 @@ def test_warc_member_walk_is_linear_in_member_count():
     recs = parse_warc_gz(raw)
     assert len(recs) == n + 1  # + warcinfo
     assert time.time() - t0 < 30, "gzip member walk is quadratic again"
+    assert max_fed <= (1 << 20), (
+        f"decompress fed {max_fed} bytes in one call — the carry is no "
+        "longer bounded by the streaming chunk (quadratic member walk)")
 
 
 def test_warc_by_lang_bounded_equals_unbounded(spark, sf_dir, monkeypatch):
