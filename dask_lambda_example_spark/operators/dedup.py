@@ -1186,22 +1186,54 @@ def dedup_repeated_ngram_spans_hashed(spark: SparkSession,
 
 
 FUZZY_TITLE_MAX_DIST = 4   # max edit distance for a candidate pair
+FUZZY_GRAM = 4             # char n-gram width of the min-hash key part
+FUZZY_GRAM_DF_CAP = 1000   # grams in more docs than this never key a block
 
 
-@query(
-    "dedup_fuzzy_title_pairs",
-    oracle=f"""
+def _fuzzy_tail_grams(col: str):
+    """Character ``FUZZY_GRAM``-grams of a title TAIL (everything after
+    the first token). Grams are taken from the tail only: the first
+    token is already the blocking key's other component, so grams
+    overlapping it carry zero information — and under a Zipfian
+    vocabulary they are actively harmful (every hot-token title shares
+    the prefix grams, so whenever one of those hashes lowest the whole
+    hot block collapses back into one bucket — measured: max composite
+    block 17.6 k with full-title grams vs 521 with the capped tail
+    form). Pure codegen: sequence → substring."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - "
+        f"{FUZZY_GRAM - 1}, 1)), i -> substring({col}, i, {FUZZY_GRAM}))")
+
+
+_FUZZY_ORACLE = f"""
     WITH t AS (SELECT doc_id,
                       array_to_string(list_slice(string_split(text, ' '),
                                                  1, 3), ' ') AS title,
                       string_split(text, ' ')[1] AS blk
-               FROM documents)
+               FROM documents),
+    tt AS (SELECT doc_id, title, blk,
+                  substr(title, strlen(blk) + 2) AS ttail FROM t),
+    grams AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(strlen(ttail)
+                                              - {FUZZY_GRAM - 1}, 1)),
+                  i -> substr(ttail, CAST(i AS INT), {FUZZY_GRAM}))) AS gram
+              FROM tt),
+    freq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+    keptmin AS (SELECT doc_id, min({HEX32_SQL.format(x='gram')}) AS mh
+                FROM grams JOIN freq USING (gram)
+                WHERE df <= {FUZZY_GRAM_DF_CAP} GROUP BY doc_id),
+    tb AS (SELECT tt.doc_id, tt.title, tt.blk,
+                  coalesce(k.mh, {HEX32_SQL.format(x='tt.ttail')}) AS mh
+           FROM tt LEFT JOIN keptmin k USING (doc_id))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.title, b.title) AS edit_dist
-    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM tb a JOIN tb b ON a.blk = b.blk AND a.mh = b.mh
+                       AND a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= {FUZZY_TITLE_MAX_DIST}
-    """,
-)
+    """
+
+
+@query("dedup_fuzzy_title_pairs", oracle=_FUZZY_ORACLE)
 def dedup_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked FUZZY similarity join — edit-distance candidate pairs
     over a derived document "title" (its first three tokens), the
@@ -1211,24 +1243,73 @@ def dedup_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the quadratic operator (``levenshtein``) NEVER sees
     the full corpus — candidate generation is a shuffle equi-join on a
-    BLOCKING key (the title's first token: vocabulary-bounded block
-    sizes), and the edit distance runs only inside blocks as a
-    post-join filter, entirely JVM-side (``F.levenshtein``, codegen —
-    no Python). Recall is limited to same-first-token pairs BY
-    CONTRACT: the oracle replicates the identical blocking (the
-    sign-LSH / band-join discipline — approximation checked, not
-    hand-waved). At 100 TB the blocking key grows to (first token,
-    length bucket) or a MinHash band exactly as the LSH path does; the
-    plan shape — bounded blocks, in-block filter — is unchanged.
+    COMPOSITE blocking key ``(first token, df-capped min char-4-gram
+    hash of the title tail)``, and the edit distance runs only inside
+    blocks as a post-join filter, entirely JVM-side (``F.levenshtein``,
+    codegen — no Python). The round-9 key was the first token alone,
+    which is vocabulary-bounded on uniform text but grows with n on a
+    Zipfian vocabulary (its own growth artifact named this). The fix
+    has two layers:
+
+    - the MIN-GRAM band (one-row MinHash over the tail's character
+      4-grams) splits a hot first-token block by title CONTENT;
+    - the DF CAP is what makes the bound PROVABLE, not statistical:
+      grams contained in more than ``FUZZY_GRAM_DF_CAP`` documents
+      (stop-grams — 'window', 'customer': the exact viral-shingle
+      problem ``dedup_jaccard_stopshingle`` solves, same defense) are
+      dropped before the min, so every block key is a gram that at
+      most ``FUZZY_GRAM_DF_CAP`` documents contain → **max block ≤ the
+      cap at ANY corpus size**. Documents whose every gram is viral
+      fall back to the exact-tail hash, where a big block means that
+      many IDENTICAL titles — genuine duplicate output, not a planning
+      accident. Measured on the Zipf-vocab tier
+      (GROWTH_r10_fuzzy_zipf.json): max block 249,483 → 521 at sf10,
+      candidate pairs 31.3 G → 21.1 M.
+
+    Cost: one extra shuffle over distinct (doc, tail-gram) rows for the
+    document frequencies (tails are ≤ 2 tokens — O(total tail chars),
+    the Jaccard index-build cost), with the viral-gram set (≤ total
+    grams / cap) broadcast for the anti-join. Recall is limited to
+    same-(token, surviving min-gram) pairs BY CONTRACT: the oracle
+    replicates the identical df-capped blocking (the sign-LSH /
+    band-join discipline — approximation checked, not hand-waved);
+    more recall = more bands (additional min-k grams), the standard
+    LSH dial.
+
+    ``SPARK_GRAFT_FUZZY_SHALLOW_BLOCK=1`` (measurement-only) restores
+    the round-9 first-token-only key so the Zipf straggler can be
+    timed against the composite fix; it is never the default.
     """
+    import os
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
          .alias("title"),
         F.element_at(F.split(F.col("text"), " "), 1).alias("blk"))
+    if os.environ.get("SPARK_GRAFT_FUZZY_SHALLOW_BLOCK"):
+        d = d.withColumn("mh", F.lit(0).cast("long"))
+    else:
+        t = d.withColumn("ttail",
+                         F.expr("substring(title, length(blk) + 2)"))
+        g = t.select(
+            "doc_id",
+            F.explode(F.array_distinct(_fuzzy_tail_grams("ttail")))
+             .alias("gram"))
+        viral = (g.groupBy("gram").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") > FUZZY_GRAM_DF_CAP)
+                  .select("gram"))
+        keptmin = (g.join(F.broadcast(viral), "gram", "left_anti")
+                    .groupBy("doc_id")
+                    .agg(F.min(hex32(F.col("gram"))).alias("mh")))
+        d = (t.join(keptmin, "doc_id", "left")
+              .withColumn("mh", F.coalesce(F.col("mh"),
+                                           hex32(F.col("ttail"))))
+              .drop("ttail"))
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.mh") == F.col("b.mh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .where(dist <= FUZZY_TITLE_MAX_DIST)
              .select(F.col("a.doc_id").alias("doc_a"),

@@ -53,14 +53,17 @@ WARC_DOCS_PER_FILE = 100       # documents per synthetic archive
 WARC_DATE = "2026-01-01T00:00:00Z"
 
 
-def _http_block(doc_id: int, text: str) -> bytes:
-    """The HTTP response block a 'response' WARC record wraps. The body
-    repeats the document text around an embedded CRLF-CRLF so that
-    blank-line record splitting (the classic naive-parser bug) would
-    corrupt it — only Content-Length framing survives."""
-    body = (text + "\r\n\r\n" + text).encode("utf-8")
+def _http_block(doc_id: int, text: str, body: bytes | None = None,
+                ctype: bytes = b"text/plain; charset=utf-8") -> bytes:
+    """The HTTP response block a 'response' WARC record wraps. The
+    default body repeats the document text around an embedded CRLF-CRLF
+    so that blank-line record splitting (the classic naive-parser bug)
+    would corrupt it — only Content-Length framing survives. Callers
+    may pass a pre-built ``body`` (the HTML corpus path) instead."""
+    if body is None:
+        body = (text + "\r\n\r\n" + text).encode("utf-8")
     head = (b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
             + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n")
     return head + body
 
@@ -86,10 +89,14 @@ def _gzip_member(data: bytes) -> bytes:
                           len(data) & 0xFFFFFFFF))
 
 
-def make_warc_gz_bytes(doc_ids: list[int], texts: list[str]) -> bytes:
+def make_warc_gz_bytes(doc_ids: list[int], texts: list[str],
+                       html: bool = False) -> bytes:
     """Build a genuine multi-record ``.warc.gz`` archive: a warcinfo
     record then one 'response' record per document, EACH record its own
-    gzip member (Common Crawl framing)."""
+    gzip member (Common Crawl framing). With ``html=True`` the inner
+    HTTP payload is a full deterministic HTML page
+    (``make_html_page``) instead of the doubled plain text — the form
+    real crawl archives carry."""
     info_block = (b"software: dask-lambda-example-spark\r\n"
                   b"format: WARC File Format 1.0\r\n")
     members = [_gzip_member(_record(
@@ -97,7 +104,12 @@ def make_warc_gz_bytes(doc_ids: list[int], texts: list[str]) -> bytes:
          ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
          ("Content-Type", "application/warc-fields")], info_block))]
     for doc_id, text in zip(doc_ids, texts):
-        block = _http_block(doc_id, text)
+        if html:
+            block = _http_block(doc_id, text,
+                                body=make_html_page(doc_id, text),
+                                ctype=b"text/html; charset=utf-8")
+        else:
+            block = _http_block(doc_id, text)
         members.append(_gzip_member(_record(
             [("WARC-Type", "response"), ("WARC-Date", WARC_DATE),
              ("WARC-Record-ID", f"<urn:uuid:{doc_id:032d}>"),
@@ -322,6 +334,308 @@ def src_warc_by_lang_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .applyInPandas(build, "lang string, bucket long, "
                                        "warc binary"))
     return archives.mapInPandas(_scan_warc_archives, _WARC_SCAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-text extraction over WARC payloads (VERDICT r9 item 3): the
+# step every real crawl-to-corpus pipeline has between archive bytes
+# and the text operators — tag walk, boilerplate gate (script/style/
+# nav/footer/aside subtrees dropped), entity decode, link census.
+# ---------------------------------------------------------------------------
+
+
+def make_html_page(doc_id: int, text: str) -> bytes:
+    """A full deterministic HTML page wrapping one document: head with
+    ``<title>`` (the document's first three tokens — the same derived
+    title the fuzzy-dedup family uses), ``<script>``/``<style>``
+    boilerplate whose junk strings must NEVER survive extraction, a
+    ``<nav>`` with three links, the main content (h1 + the text split
+    into two paragraphs + ``1 + doc_id % 3`` in-content reference
+    links + an entity-encoded tail proving charref decode), an
+    ``<img>`` whose alt text must not leak (attributes are not text),
+    an HTML comment, and a ``<footer>`` with one more link. Every
+    byte is a pure function of (doc_id, text) so the DuckDB oracle can
+    state the expected extraction analytically."""
+    words = text.split(" ")
+    title = " ".join(words[:3])
+    mid = (len(words) + 1) // 2
+    para1, para2 = " ".join(words[:mid]), " ".join(words[mid:])
+    refs = " ".join(
+        f'<a href="/ref/{doc_id}/{j}">ref-{doc_id}-{j}</a>'
+        for j in range(1 + doc_id % 3))
+    page = f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+  <meta charset="utf-8"/>
+  <title>{title}</title>
+  <style>.content {{ margin: 0; }} /* style-junk-{doc_id} */</style>
+  <script>var junk = "script-junk-{doc_id}";</script>
+</head>
+<body>
+  <nav>
+    <a href="/">nav-home</a> <a href="/a">nav-a</a> <a href="/b">nav-b</a>
+  </nav>
+  <!-- comment-junk-{doc_id} -->
+  <div class="content">
+    <h1>{title}</h1>
+    <p>{para1}</p>
+    <p>{para2}</p>
+    <img src="/img/{doc_id}.png" alt="alt-junk-{doc_id}"/>
+    <p>{refs}</p>
+    <p>&amp;sect-{doc_id % 7}&lt;end&gt;</p>
+  </div>
+  <footer>footer-junk <a href="/about">about</a></footer>
+</body>
+</html>"""
+    return page.encode("utf-8")
+
+
+class _MainTextExtractor:
+    """Streaming main-text extraction over one HTML document with the
+    stdlib ``html.parser.HTMLParser``: text nodes outside boilerplate
+    subtrees (``script style nav footer header aside noscript
+    template``) are collected in document order with character/entity
+    references decoded; ``<title>`` is captured separately; every
+    ``<a href>`` start tag is counted (nav/footer links included — a
+    link census is about the page, not the prose). Boilerplate skip is
+    DEPTH-tracked so nested skippable tags can't un-skip early."""
+
+    SKIP_TAGS = frozenset(
+        ("script", "style", "nav", "footer", "header", "aside",
+         "noscript", "template"))
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                if tag == "a" and any(k == "href" for k, _ in attrs):
+                    outer.n_links += 1
+                if tag in outer.SKIP_TAGS:
+                    outer._skip_depth += 1
+                elif tag == "title":
+                    outer._in_title = True
+
+            def handle_endtag(self, tag):
+                if tag in outer.SKIP_TAGS and outer._skip_depth:
+                    outer._skip_depth -= 1
+                elif tag == "title":
+                    outer._in_title = False
+
+            def handle_data(self, data):
+                if outer._in_title:
+                    outer._title_parts.append(data)
+                elif not outer._skip_depth:
+                    outer._text_parts.append(data)
+
+        self._parser = _P(convert_charrefs=True)
+        self._skip_depth = 0
+        self._in_title = False
+        self._title_parts: list[str] = []
+        self._text_parts: list[str] = []
+        self.n_links = 0
+
+    def feed(self, html_text: str) -> None:
+        self._parser.feed(html_text)
+        self._parser.close()
+
+    @property
+    def title(self) -> str:
+        return " ".join("".join(self._title_parts).split())
+
+    @property
+    def main_text(self) -> str:
+        return " ".join("".join(self._text_parts).split())
+
+
+def extract_main_text(html_bytes: bytes) -> tuple[str, str, int]:
+    """(title, main_text, link_count) from one HTML payload."""
+    ex = _MainTextExtractor()
+    ex.feed(html_bytes.decode("utf-8"))
+    return ex.title, ex.main_text, ex.n_links
+
+
+def _html_warc_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-``file_id`` ``.warc.gz`` archives whose HTTP
+    payloads are the deterministic HTML pages (the crawl-corpus build
+    side both HTML queries share)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text")
+         .withColumn("file_id",
+                     (F.col("doc_id") / WARC_DOCS_PER_FILE).cast("long")))
+
+    # single-parameter signature (applyInPandas arity dispatch — see
+    # the src_warc_scan note)
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dask_lambda_example_spark.sources.warc import (
+            make_warc_gz_bytes as _mk,
+        )
+
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame({
+            "file_id": [int(pdf["file_id"].iloc[0])],
+            "warc": [_mk([int(i) for i in pdf["doc_id"]],
+                         list(pdf["text"]), html=True)],
+        })
+
+    return d.groupBy("file_id").applyInPandas(
+        build, "file_id long, warc binary")
+
+
+_HTML_EXTRACT_SCHEMA = ("doc_id long, title string, main_text string, "
+                        "link_count int")
+
+
+def _extract_html_archives(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    """Shared read side of the HTML queries: WARC member walk → inner
+    HTTP parse → HTML main-text extraction, one output row per
+    response record. Module-level so it pickles by reference."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "title", "main_text",
+                                "link_count")}
+        for raw in pdf["warc"]:
+            for rec in parse_warc_gz(bytes(raw)):
+                if rec["warc_type"] != "response":
+                    continue
+                title, main_text, n_links = extract_main_text(
+                    rec["payload"])
+                rows["doc_id"].append(
+                    int(rec["target_uri"].rsplit("/", 1)[1]))
+                rows["title"].append(title)
+                rows["main_text"].append(main_text)
+                rows["link_count"].append(n_links)
+        yield pd.DataFrame(rows)
+
+
+# What extraction must recover, stated analytically from the original
+# rows: title = first three tokens; main_text = h1 title + the two
+# paragraphs (whitespace-collapse rejoins them into the exact original
+# text) + the in-content ref anchors + the entity-decoded tail; links =
+# 3 nav + (1 + doc_id % 3) in-content + 1 footer.
+_HTML_EXTRACT_ORACLE = """
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+             AS title,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+             || ' ' || text || ' '
+             || CASE doc_id % 3
+                  WHEN 0 THEN 'ref-' || doc_id || '-0'
+                  WHEN 1 THEN 'ref-' || doc_id || '-0 ref-'
+                              || doc_id || '-1'
+                  ELSE 'ref-' || doc_id || '-0 ref-' || doc_id
+                       || '-1 ref-' || doc_id || '-2'
+                END
+             || ' &sect-' || (doc_id % 7) || '<end>' AS main_text,
+           CAST(5 + doc_id % 3 AS INT) AS link_count
+    FROM documents
+    """
+
+
+@query("text_html_extract", oracle=_HTML_EXTRACT_ORACLE)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl → corpus, the missing middle step: build per-``file_id``
+    ``.warc.gz`` archives whose HTTP payloads are full deterministic
+    HTML pages (head/title, script+style+nav+footer boilerplate, two
+    content paragraphs, reference links, entity-encoded text, an HTML
+    comment — ``make_html_page``), then parse every archive back
+    (gzip-member walk + Content-Length framing + inner HTTP split) and
+    run REAL streaming HTML extraction (stdlib ``HTMLParser``) per
+    page: boilerplate subtrees dropped by tag depth, character/entity
+    references decoded, whitespace collapsed, ``<a href>`` tags
+    counted. The oracle states the expected (title, main_text,
+    link_count) analytically from the original rows, so a value-hash
+    match proves the tag walk dropped EXACTLY the boilerplate (one
+    leaked ``script-junk``/``nav-home``/``alt-junk`` token or one
+    undecoded ``&amp;`` breaks the hash).
+
+    Scale posture: identical to ``src_warc_scan`` — one write-side
+    shuffle groups documents into archives, the read side is a
+    shuffle-free per-archive ``mapInPandas`` (bytes never shuffle,
+    per-file parallel at 100 TB). HTML parsing is per-payload Python
+    by design (the codec-op exemption: the parse IS the operator);
+    the downstream text operators consume ``main_text`` exactly as
+    they consume ``documents.text``."""
+    return _html_warc_archives(spark, sf_dir).mapInPandas(
+        _extract_html_archives, _HTML_EXTRACT_SCHEMA)
+
+
+# crawl-funnel gates (pure functions of the extracted columns so the
+# oracle can restate them over its own main_text expression)
+CRAWL_MIN_TOKENS = 40          # length gate on extracted main text
+CRAWL_MAX_LINK_DENSITY = 0.15  # links per main-text token (boilerplate gate)
+
+
+def _crawl_funnel_oracle() -> str:
+    return f"""
+    WITH ext AS ({_HTML_EXTRACT_ORACLE}),
+    base AS (SELECT doc_id,
+                    len(string_split(main_text, ' ')) AS n_tokens,
+                    link_count,
+                    (main_text <> '') AS p1
+             FROM ext),
+    gates AS (SELECT n_tokens, p1,
+                     p1 AND (link_count * 1.0 / n_tokens)
+                        <= {CRAWL_MAX_LINK_DENSITY} AS p2,
+                     p1 AND (link_count * 1.0 / n_tokens)
+                        <= {CRAWL_MAX_LINK_DENSITY}
+                        AND n_tokens >= {CRAWL_MIN_TOKENS} AS p3
+              FROM base)
+    SELECT '0_fetched' AS stage, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM gates
+    UNION ALL SELECT '1_parsed', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM gates WHERE p1
+    UNION ALL SELECT '2_link_density', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM gates WHERE p2
+    UNION ALL SELECT '3_length', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM gates WHERE p3
+    """
+
+
+@query("pipeline_crawl_funnel", oracle=_crawl_funnel_oracle())
+def pipeline_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-side curation funnel — ``pipeline_curation_funnel``'s
+    upstream sibling, consuming the HTML extraction instead of the
+    clean documents table: archives → parsed pages → link-density
+    boilerplate gate (link farms have many links per prose token) →
+    minimum-length gate, reported as surviving docs + extracted
+    tokens per stage. The stage input is the REGISTERED
+    ``text_html_extract`` called as a function, and the oracle nests
+    its oracle SQL as a CTE — the composition is value-checked
+    end-to-end (the curation-funnel discipline). Gates are
+    cumulative-AND projections over the extracted columns: zero extra
+    shuffles beyond the extraction itself; the report is an Expand
+    (one row per stage gate) into a 4-group aggregate."""
+    ext = text_html_extract(spark, sf_dir)
+    base = ext.select(
+        F.size(F.split(F.col("main_text"), " ")).alias("n_tokens"),
+        "link_count",
+        (F.col("main_text") != "").alias("p1"))
+    gates = base.select(
+        "n_tokens", "p1",
+        (F.col("p1") & (F.col("link_count") / F.col("n_tokens")
+                        <= CRAWL_MAX_LINK_DENSITY)).alias("p2"),
+        (F.col("p1") & (F.col("link_count") / F.col("n_tokens")
+                        <= CRAWL_MAX_LINK_DENSITY)
+         & (F.col("n_tokens") >= CRAWL_MIN_TOKENS)).alias("p3"))
+    stages = gates.select(
+        "n_tokens",
+        F.explode(F.array(
+            F.struct(F.lit("0_fetched").alias("stage"),
+                     F.lit(True).alias("ok")),
+            F.struct(F.lit("1_parsed").alias("stage"),
+                     F.col("p1").alias("ok")),
+            F.struct(F.lit("2_link_density").alias("stage"),
+                     F.col("p2").alias("ok")),
+            F.struct(F.lit("3_length").alias("stage"),
+                     F.col("p3").alias("ok")),
+        )).alias("s"))
+    return (stages.filter(F.col("s.ok"))
+            .groupBy(F.col("s.stage").alias("stage"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))
 
 
 TAR_DOCS_PER_FILE = 100        # documents per synthetic tarball

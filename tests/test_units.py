@@ -393,6 +393,101 @@ def test_warc_member_walk_is_linear_in_member_count(monkeypatch):
         "longer bounded by the streaming chunk (quadratic member walk)")
 
 
+def test_fuzzy_composite_block_is_subset_and_splits_hot_token(
+        spark, tmp_path, monkeypatch):
+    # Round-10 Zipf-proofing: the composite (first token, min-gram)
+    # blocking key must (a) return a SUBSET of the first-token-only
+    # key's pairs (it only ever narrows candidate generation), (b)
+    # still find exact-duplicate and lightly-edited titles, and (c)
+    # split a hot first-token block: documents sharing the Zipf-hot
+    # first token but with unrelated tails must land in DIFFERENT
+    # blocks (no candidate pair), which is exactly why the max block no
+    # longer grows with token popularity.
+    from dask_lambda_example_spark.registry import QUERIES
+
+    rows = [
+        # near-identical family: found by both keys
+        (0, "the quick fox jumped", "en", "web"),
+        (1, "the quick fax jumped", "en", "web"),
+        # same hot first token, unrelated tails: shallow key pairs
+        # them into one block (and rejects on distance); the composite
+        # key never co-blocks them at all
+        (2, "the aaaa bbbb cccc", "en", "web"),
+        (3, "the zzzz yyyy xxxx", "en", "web"),
+        # within edit distance 4 but disjoint tail grams: the shallow
+        # key finds the pair, the composite key gives it up BY
+        # CONTRACT (different min-gram → different block) — the
+        # documented recall trade that buys the bounded blocks
+        (4, "the cata", "en", "web"),
+        (5, "the dogb", "en", "web"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(f"{tmp_path}/documents.parquet")
+
+    fn = QUERIES["dedup_fuzzy_title_pairs"].fn
+    monkeypatch.delenv("SPARK_GRAFT_FUZZY_SHALLOW_BLOCK", raising=False)
+    deep = {(r.doc_a, r.doc_b, r.edit_dist)
+            for r in fn(spark, str(tmp_path)).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_SHALLOW_BLOCK", "1")
+    shallow = {(r.doc_a, r.doc_b, r.edit_dist)
+               for r in fn(spark, str(tmp_path)).collect()}
+    assert deep <= shallow
+    assert (0, 1, 1) in deep          # the edited near-duplicate
+    assert all(d <= 4 for _, _, d in deep)
+    # the contract trade, both directions: docs 4/5 are within
+    # distance (shallow finds them) but share no tail gram (deep never
+    # co-blocks them)
+    assert (4, 5, 4) in shallow
+    assert (4, 5, 4) not in deep
+
+
+def test_html_extractor_boilerplate_entities_and_nesting():
+    from dask_lambda_example_spark.sources.warc import (
+        extract_main_text,
+        make_html_page,
+    )
+
+    # round trip of the deterministic page: boilerplate junk must never
+    # leak, entities must decode, links must census nav+content+footer
+    title, main, n_links = extract_main_text(
+        make_html_page(5, "aa bb cc dd ee"))
+    assert title == "aa bb cc"
+    assert main == "aa bb cc aa bb cc dd ee ref-5-0 ref-5-1 ref-5-2 &sect-5<end>"
+    assert n_links == 3 + 3 + 1
+    for junk in ("script-junk", "style-junk", "comment-junk", "alt-junk",
+                 "nav-home", "footer-junk", "&amp;", "&lt;"):
+        assert junk not in main, junk
+
+    # depth-tracked skip: a nested skippable tag must not un-skip its
+    # parent subtree when it closes
+    _, nested, _ = extract_main_text(
+        b"<body><nav>skipme <footer>deeper</footer> stillskipped</nav>"
+        b" kept</body>")
+    assert nested == "kept"
+
+    # an href-less anchor is not a link
+    _, _, n = extract_main_text(b"<body><a name='x'>anchor</a></body>")
+    assert n == 0
+
+
+def test_crawl_funnel_stages_are_monotone(spark, sf_dir):
+    from dask_lambda_example_spark.registry import QUERIES
+
+    rows = {r.stage: (r.n_docs, r.n_tokens)
+            for r in QUERIES["pipeline_crawl_funnel"].fn(
+                spark, sf_dir).collect()}
+    assert set(rows) == {"0_fetched", "1_parsed", "2_link_density",
+                         "3_length"}
+    order = ["0_fetched", "1_parsed", "2_link_density", "3_length"]
+    docs = [rows[s][0] for s in order]
+    toks = [rows[s][1] for s in order]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[-1] >= 1  # the gates pass a non-trivial survivor set
+
+
 def test_warc_by_lang_bounded_equals_unbounded(spark, sf_dir, monkeypatch):
     # The (lang, bucket) bounded-archive grouping and the naive
     # one-group-per-lang form (measurement-only knob) must emit the
