@@ -971,94 +971,121 @@ def sim_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-subspace table lookups instead of full-width float math.
 # ---------------------------------------------------------------------------
 
-PQ_M = 8          # subspaces; dim 64 → 8 dims per subspace
+PQ_M = 32         # subspaces; dim 64 → 2 dims per subspace
 PQ_DSUB = 64 // PQ_M
+PQ_BITS = 3       # quantizer bits per dimension (8 fixed-width levels)
+PQ_LEVELS = 1 << PQ_BITS
+PQ_K = PQ_LEVELS ** PQ_DSUB   # codes per subspace (64 at 3 bits × 2 dims)
+PQ_STRIDE = 256   # (m, code) map-key packing stride
 PQ_TOPK = IVF_K   # neighbors returned per probe
 
-
-def _pq_subspace_explode(e: DataFrame) -> DataFrame:
-    """(vec_id, label, pos 1-based, m, val) — the exploded form the
-    codebook aggregation and the PROBE-side distance tables run over.
-    The corpus-side encode deliberately does NOT use this (see
-    ``_pq_codes_projection``)."""
-    return (e.select("vec_id", "label",
-                     F.posexplode("emb").alias("pos0", "val"))
-             .select("vec_id", "label",
-                     (F.col("pos0") + 1).alias("pos"),
-                     (F.col("pos0") / PQ_DSUB).cast("int").alias("m"),
-                     "val"))
+# the packing m*PQ_STRIDE+code collides silently if a code ever reaches
+# the stride (ADVICE r9 — the round-9 data-driven label domain made this
+# a latent hazard; the lattice domain makes it structural): codes are
+# < PQ_LEVELS**PQ_DSUB by construction, so pin that against the stride.
+assert PQ_K <= PQ_STRIDE, "PQ code domain must fit the map-key stride"
 
 
-def _pq_codebook(sub: DataFrame) -> DataFrame:
-    """(code, m, pos, cval): per-label mean subvectors — the
-    deterministic stand-in for trained k-means codebooks (the
-    sim_ivf_centroids discipline). One partial+final aggregation over
-    n_codes × dim groups regardless of corpus size."""
-    return (sub.groupBy(F.col("label").alias("code"), "m", "pos")
-               .agg(F.avg("val").alias("cval")))
+def _pq_grid(e: DataFrame) -> DataFrame:
+    """1-row frame with two broadcastable maps pos0 → (min, bin width):
+    the per-dimension fixed-width quantization grid — ``PQ_LEVELS``
+    equal bins across [min, max]. min/max are chosen over trained
+    centroids deliberately: they are ORDER-INDEPENDENT exact
+    reductions, so Spark and DuckDB derive bit-identical grids and the
+    bin assignment (one subtract/divide/floor per dimension) can never
+    diverge between the engines. Width is floored at 1e-30 so a
+    constant dimension bins to 0 instead of dividing by zero. One
+    partial+final aggregation over dim groups regardless of corpus
+    size."""
+    return (e.select(F.posexplode("emb").alias("pos0", "val"))
+             .groupBy("pos0")
+             .agg(F.min("val").alias("mn"),
+                  F.greatest(F.max("val") - F.min("val"),
+                             F.lit(1e-30)).alias("w"))
+             .agg(F.map_from_arrays(
+                      F.collect_list(F.col("pos0").cast("int")),
+                      F.collect_list("mn")).alias("mnm"),
+                  F.map_from_arrays(
+                      F.collect_list(F.col("pos0").cast("int")),
+                      F.collect_list("w")).alias("wm")))
 
 
-def _pq_probe_d2(sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_bin_expr(pos: int):
+    """The ``PQ_BITS``-bit lattice bin of dimension ``pos`` against the
+    broadcast grid maps: least(levels-1, floor((x - min) / w · levels))
+    — pure codegen, dialect-portable (DuckDB: identical floor/least;
+    floor output is integral so its INT cast is exact under DuckDB's
+    round-on-cast)."""
+    x = F.element_at(F.col("emb"), pos + 1)
+    mn = F.element_at(F.col("mnm"), F.lit(pos).cast("int"))
+    w = F.element_at(F.col("wm"), F.lit(pos).cast("int"))
+    return F.least(F.lit(PQ_LEVELS - 1),
+                   F.floor((x - mn) / w * PQ_LEVELS)).cast("int")
+
+
+def _pq_code_expr(m: int):
+    """The subspace-``m`` PQ code as a pure codegen expression:
+    ``PQ_BITS`` lattice bits per dimension — code = Σ_j bin_j ·
+    levels^j, domain [0, PQ_K). The quantizer IS this binning function
+    (a product lattice with data-driven per-bin reconstruction values),
+    so the corpus encode needs NO argmin, NO codebook, NO join — the
+    round-9 per-label argmin projection enumerated n_codes distance
+    folds per subspace; this is ``PQ_DSUB`` subtract/divide/floors."""
+    parts = [
+        _pq_bin_expr(m * PQ_DSUB + j) * (PQ_LEVELS ** j)
+        for j in range(PQ_DSUB)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _pq_coded(e: DataFrame, grid: DataFrame) -> DataFrame:
+    """(vec_id, label, emb, codes array<int>) — the corpus PQ encode as
+    ONE whole-stage-codegen projection against the broadcast 1-row
+    grid maps: no explode, no join, no shuffle."""
+    codes = F.array(*[_pq_code_expr(m).cast("int") for m in range(PQ_M)])
+    return (e.crossJoin(F.broadcast(grid))
+             .select("vec_id", "label", "emb", codes.alias("codes")))
+
+
+def _pq_codebook(coded: DataFrame) -> DataFrame:
+    """(code, m, pos0, cval): per-bin mean subvectors — the
+    reconstruction values of the sign quantizer (the centroid of every
+    occupied bin, exactly what k-means converges to for a fixed
+    assignment). One partial+final aggregation over ≤ PQ_M × PQ_K × dim
+    groups regardless of corpus size; empty bins simply don't occur in
+    the output (they have no members to reconstruct)."""
+    return (coded.select(
+                F.posexplode("emb").alias("pos0", "val"),
+                F.element_at(F.col("codes"),
+                             (F.col("pos0") / PQ_DSUB).cast("int") + 1)
+                 .alias("code"))
+            .select("code", (F.col("pos0") / PQ_DSUB).cast("int").alias("m"),
+                    "pos0", "val")
+            .groupBy("code", "m", "pos0")
+            .agg(F.avg("val").alias("cval")))
+
+
+def _pq_probe_d2(e: DataFrame, cb: DataFrame) -> DataFrame:
     """Probe-side per-(subspace, code) squared distances — the ADC
     distance tables. Exploded + grouped like the oracle, but ONLY over
-    the bounded probe set (|probes| × d × n_codes rows, trivial)."""
+    the bounded probe set (|probes| × dim × occupied-codes rows; the
+    codebook broadcasts)."""
+    sub = (e.filter(_probe_filter())
+            .select("vec_id", F.posexplode("emb").alias("pos0", "val")))
     diff = F.col("val") - F.col("cval")
-    return (sub.filter(_probe_filter())
-               .join(F.broadcast(cb), ["m", "pos"])
+    return (sub.join(F.broadcast(cb), "pos0")
                .groupBy("vec_id", "m", "code")
                .agg(F.sum(diff * diff).alias("d2")))
 
 
-def _pq_codes_projection(e: DataFrame, cb: DataFrame,
-                         code_values: list) -> DataFrame:
-    """Corpus PQ encode as ONE whole-stage-codegen projection — no
-    explode, no join, no shuffle: for each subspace, the argmin over
-    codebook entries of the in-order squared-L2 fold between the
-    embedding's subvector slice and the (broadcast, map-packed)
-    codebook subvector. The first cut encoded relationally — explode
-    to n×d rows, join ×n_codes, re-group to n×M — i.e. 320 M
-    intermediate rows at sf10 for what is per-row arithmetic; this
-    projection IS the per-row arithmetic. ``code_values`` comes from a
-    driver-local footer/column read (``parquet_column_values``), never
-    a Spark job at plan-build time. Ties broken toward the smaller
-    code (strict <), matching the row_number (d2, code) ordering the
-    oracle uses."""
-    cb_arr = (cb.groupBy("m", "code")
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s["cval"]).alias("cvec")))
-    cbm = cb_arr.agg(F.map_from_arrays(
-        F.collect_list((F.col("m") * 256 + F.col("code")).cast("int")),
-        F.collect_list("cvec")).alias("cbm"))
-
-    def dist(m: int, c: int):
-        subvec = F.slice(F.col("emb"), m * PQ_DSUB + 1, PQ_DSUB)
-        cvec = F.element_at(F.col("cbm"), F.lit(m * 256 + c).cast("int"))
-        return F.aggregate(
-            F.zip_with(subvec, cvec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda a, v: a + v)
-
-    def best_code(m: int):
-        # argmin via array_sort over (d, code) structs — struct order IS
-        # the (d2 asc, code asc) tie-break the oracle's row_number uses.
-        # NOT a when-chain: each when re-embeds the whole previous tree
-        # twice, which is EXPONENTIAL in n_codes (measured: 43 MiB task
-        # binaries at 10 codes); here every dist appears exactly once.
-        return F.element_at(F.array_sort(F.array(*[
-            F.struct(dist(m, int(c)).alias("d"),
-                     F.lit(int(c)).cast("int").alias("c"))
-            for c in code_values])), 1)["c"]
-
-    codes = F.array(*[best_code(m) for m in range(PQ_M)])
-    return (e.crossJoin(F.broadcast(cbm))
-             .select("vec_id", "label", codes.alias("codes")))
-
-
 def _pq_adc_oracle() -> str:
-    """Full-pipeline replication (the IVF-oracle discipline): codebooks,
-    encoding, distance tables and the ADC sum are all recomputed in
-    DuckDB — approximation error vs exact search is part of the checked
-    contract, not hand-waved."""
+    """Full-pipeline replication (the IVF-oracle discipline):
+    thresholds, sign-bit encoding, bin-mean codebooks, distance tables
+    and the ADC sum are all recomputed in DuckDB — approximation error
+    vs exact search is part of the checked contract, not hand-waved."""
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
@@ -1067,24 +1094,31 @@ def _pq_adc_oracle() -> str:
     sub AS (SELECT vec_id, label, val, pos,
                    -- integer floor division: DuckDB CAST(float AS INT)
                    -- ROUNDS, Spark's cast truncates — '//' avoids both
-                   CAST((pos - 1) // {64 // PQ_M} AS INT) AS m FROM expl),
-    cb AS (SELECT label AS code, m, pos, avg(val) AS cval
-           FROM sub GROUP BY label, m, pos),
+                   CAST((pos - 1) // {PQ_DSUB} AS INT) AS m,
+                   CAST((pos - 1) % {PQ_DSUB} AS INT) AS j FROM expl),
+    grid AS (SELECT pos, min(val) AS mn,
+                    greatest(max(val) - min(val), 1e-30) AS w
+             FROM sub GROUP BY pos),
+    codes AS (SELECT vec_id, m,
+                     CAST(sum(least({PQ_LEVELS - 1},
+                              CAST(floor((s.val - g.mn) / g.w
+                                         * {PQ_LEVELS}) AS INT))
+                          * (1 << ({PQ_BITS} * s.j))) AS INT) AS code
+              FROM sub s JOIN grid g USING (pos)
+              GROUP BY vec_id, m),
+    cb AS (SELECT c.code, s.m, s.pos, avg(s.val) AS cval
+           FROM sub s JOIN codes c ON c.vec_id = s.vec_id AND c.m = s.m
+           GROUP BY c.code, s.m, s.pos),
     d2 AS (SELECT s.vec_id, s.m, cb.code,
                   sum((s.val - cb.cval) * (s.val - cb.cval)) AS d2
            FROM sub s JOIN cb ON cb.m = s.m AND cb.pos = s.pos
+           WHERE s.vec_id % {PROBE_MOD} = 0 AND s.vec_id < {PROBE_CAP}
            GROUP BY s.vec_id, s.m, cb.code),
-    codes AS (SELECT vec_id, m, code FROM (
-            SELECT vec_id, m, code,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d2, code) AS rn
-            FROM d2) WHERE rn = 1),
     adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    sum(q.d2) AS ad2
             FROM d2 q
             JOIN codes c ON c.m = q.m AND c.code = q.code
-            WHERE q.vec_id % {PROBE_MOD} = 0 AND q.vec_id < {PROBE_CAP}
-              AND c.vec_id <> q.vec_id
+            WHERE c.vec_id <> q.vec_id
             GROUP BY q.vec_id, c.vec_id)
     SELECT query_id, neighbor_id, round(ad2, 6) AS adist2, rank FROM (
         SELECT query_id, neighbor_id, ad2,
@@ -1101,63 +1135,62 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (all JVM-side; the only wide ops are two partial-agg
     groupBys):
 
-    1. **Codebooks**: dims split into ``PQ_M`` subspaces; each
-       subspace's codebook entries are the per-``label`` mean
-       subvectors — the same deterministic stand-in for a trained
-       k-means that ``sim_ivf_centroids`` uses (a seeded k-means slots
-       in identically; codebooks are n_codes × dim, tiny, broadcast).
-    2. **Encode**: per (vector, subspace), the nearest codebook entry
-       by squared L2 — the corpus collapses from n × d floats to
-       n × PQ_M small ints (32× compression at d=64/M=8/float32: the
-       entire reason PQ scans fit in memory at 10⁹ vectors).
-    3. **ADC**: each probe's per-(subspace, code) distance table is
-       d2 restricted to the probe set — asymmetric distance: query
-       stays full-precision, corpus is code lookups. Approximate
-       squared L2 = Σ_m dt[m, code_m(x)]: a broadcast equi-join of the
-       bounded probe tables against the n × PQ_M code table plus one
-       map-side-combinable groupBy — NO full-width float math against
-       the corpus, no shuffle of the embeddings themselves.
-    4. Top-``PQ_TOPK`` per probe by (adist2, neighbor_id) — bounded
+    1. **Grid**: per-dimension fixed-width quantization grid over the
+       exact [min, max] — one tiny aggregation, broadcast as 1-row
+       maps.
+    2. **Encode**: per (vector, subspace), {PQ_BITS} lattice bits per
+       dimension → code ∈ [0, {PQ_K}) per subspace (production-shape
+       codebooks — VERDICT r9 item 4; the round-9 form had 10
+       per-label codes and recall@3 0.15). The quantizer is the
+       binning function itself, so the corpus encode is a pure
+       whole-stage-codegen projection: the corpus collapses from
+       n × d floats to n × {PQ_M} byte-sized codes (8× compression
+       at d=64/float32; PQ_BITS is the compression↔recall dial — 2
+       bits/dim doubles compression for recall@3 0.375 at sf0.1 vs
+       0.596 at 3 bits, both in GROWTH_r10_pq_tiers.json) with NO
+       argmin, NO join, NO shuffle.
+    3. **Codebooks** (reconstruction values): per-bin mean subvectors —
+       the centroid of every occupied bin, what k-means converges to
+       for this assignment; ≤ {PQ_M} × {PQ_K} × d/{PQ_M} tiny rows,
+       broadcast.
+    4. **ADC**: each probe's per-(subspace, code) distance table is d2
+       restricted to the probe set — asymmetric distance: query stays
+       full-precision, corpus is code lookups. Approximate squared
+       L2 = Σ_m dt[m, code_m(x)]: the probe tables broadcast as maps
+       and the Σ folds in whole-stage codegen over the code table —
+       NO full-width float math against the corpus, no shuffle after
+       the encode projection.
+    5. Top-{PQ_TOPK} per probe by (adist2, neighbor_id) — bounded
        window over |probes| × n pairs of SCALAR distances.
 
     Scale: at 100 TB of embeddings the codes table is ~3 TB; combined
-    with IVF cell pruning (``sim_ivf_search_multiprobe``) each probe
-    touches n_probe/n_cells of THAT — the standard IVF-PQ composition.
-    L2 metric (PQ's native space); for cosine, L2-normalize upstream.
-    """
-    from dask_lambda_example_spark.io import parquet_column_values
-
+    with IVF cell pruning (``sim_ivfpq_search``) each probe touches
+    n_probe/n_cells of THAT — the standard IVF-PQ composition. L2
+    metric (PQ's native space); for cosine, L2-normalize upstream.
+    The oracle replicates thresholds → bits → bin means → tables →
+    fold end to end."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    sub = _pq_subspace_explode(e)
-    cb = _pq_codebook(sub)
+    grid = _pq_grid(e)
+    coded = _pq_coded(e, grid)
+    cb = _pq_codebook(coded)
+    codes_wide = coded.select("vec_id", "codes")
 
-    # Corpus encode: one codegen'd projection (argmin over broadcast
-    # codebook subvectors), no explode/join/shuffle — see
-    # _pq_codes_projection for why the relational form was replaced.
-    codes_wide = _pq_codes_projection(
-        e, cb, parquet_column_values(sf_dir, "embeddings", "label")
-    ).select("vec_id", "codes")
-
-    # ADC as a broadcast MAP-LOOKUP FOLD, not a join+re-aggregation:
-    # the first cut joined corpus code rows to probe distance-table
-    # rows on (m, code) and re-grouped — n×M×|probes| intermediate rows
-    # through a hash aggregate (320M rows / 40M groups at sf10, 67.8s).
-    # Real ADC is 8 table lookups per (probe, vector); expressing it
-    # that way — codes collapsed to one array per vector, each probe's
-    # distance table broadcast as a map, Σ_m dt[m·256+code_m] folded in
-    # whole-stage codegen — leaves NOTHING to shuffle after the encode
-    # stage and scans |probes|×n rows once.
-    dtm = (_pq_probe_d2(sub, cb)
+    # ADC as a broadcast MAP-LOOKUP FOLD, not a join+re-aggregation
+    # (round-9 lesson: the relational form pushed n×M×|probes| rows
+    # through a hash aggregate — 320M rows at sf10, 67.8s; the fold
+    # scans |probes|×n rows once in codegen).
+    dtm = (_pq_probe_d2(e, cb)
            .groupBy(F.col("vec_id").alias("query_id"))
            .agg(F.map_from_arrays(
-               F.collect_list((F.col("m") * 256 + F.col("code"))
+               F.collect_list((F.col("m") * PQ_STRIDE + F.col("code"))
                               .cast("int")),
                F.collect_list("d2")).alias("dt")))
     ad2 = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
         lambda acc, m: acc + F.element_at(
-            F.col("dt"), (m * 256 + F.element_at(F.col("codes"), m + 1))
+            F.col("dt"),
+            (m * PQ_STRIDE + F.element_at(F.col("codes"), m + 1))
             .cast("int")))
     adc = (codes_wide
            .join(F.broadcast(dtm), F.col("vec_id") != F.col("query_id"))
@@ -1169,6 +1202,10 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("rank") <= PQ_TOPK)
                .select("query_id", "neighbor_id",
                        F.round("ad2", 6).alias("adist2"), "rank"))
+
+
+sim_pq_adc_search.__doc__ = sim_pq_adc_search.__doc__.format(
+    PQ_BITS=PQ_BITS, PQ_K=PQ_K, PQ_M=PQ_M, PQ_TOPK=PQ_TOPK)
 
 
 def _pq_recall_oracle() -> str:
@@ -1213,9 +1250,13 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines group the floats identically; the PQ side is the
     registered query itself (oracle nests its SQL as a CTE). Scale:
     probe-bounded on both sides; the audit join touches |probes| × k
-    rows. The knob this report prices at 100 TB is PQ_M (codes per
-    vector): more subspaces → finer quantization → higher recall and a
-    proportionally larger code table."""
+    rows. The knob this report prices at 100 TB is PQ_BITS (lattice
+    bits per dimension): finer quantization → higher recall and a
+    proportionally larger code table. Measured at the round-10
+    codebook shape (3-bit lattice, 64 codes/subspace): mean recall@3
+    0.70 / 0.60 at sf0.01 / sf0.1 vs 0.15 for the 10-code round-9
+    form, above the whole IVF-multiprobe recall curve (0.22→0.42) —
+    GROWTH_r10_pq_tiers.json carries the tier numbers."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
     q = (e.filter(_probe_filter())
@@ -1256,25 +1297,37 @@ def _ivfpq_oracle() -> str:
     expl AS (SELECT vec_id, label, unnest(emb) AS val,
                     generate_subscripts(emb, 1) AS pos FROM e),
     sub AS (SELECT vec_id, label, val, pos,
-                   CAST((pos - 1) // {64 // PQ_M} AS INT) AS m FROM expl),
-    cb AS (SELECT label AS code, m, pos, avg(val) AS cval
-           FROM sub GROUP BY label, m, pos),
-    d2 AS (SELECT s.vec_id, s.m, cb.code,
-                  sum((s.val - cb.cval) * (s.val - cb.cval)) AS d2
-           FROM sub s JOIN cb ON cb.m = s.m AND cb.pos = s.pos
-           GROUP BY s.vec_id, s.m, cb.code),
-    codes AS (SELECT vec_id, m, code FROM (
-            SELECT vec_id, m, code,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d2, code) AS rn
-            FROM d2) WHERE rn = 1),
-    pdt AS (SELECT vec_id AS query_id, m, code, d2 FROM d2
-            WHERE vec_id % {PROBE_MOD} = 0 AND vec_id < {PROBE_CAP}),
-    assigned AS (SELECT query_id, code AS cell FROM (
-            SELECT query_id, code,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sum(d2), code) AS rn
-            FROM pdt GROUP BY query_id, code)
+                   CAST((pos - 1) // {PQ_DSUB} AS INT) AS m,
+                   CAST((pos - 1) % {PQ_DSUB} AS INT) AS j FROM expl),
+    grid AS (SELECT pos, min(val) AS mn,
+                    greatest(max(val) - min(val), 1e-30) AS w
+             FROM sub GROUP BY pos),
+    codes AS (SELECT vec_id, m,
+                     CAST(sum(least({PQ_LEVELS - 1},
+                              CAST(floor((s.val - g.mn) / g.w
+                                         * {PQ_LEVELS}) AS INT))
+                          * (1 << ({PQ_BITS} * s.j))) AS INT) AS code
+              FROM sub s JOIN grid g USING (pos)
+              GROUP BY vec_id, m),
+    cb AS (SELECT c.code, s.m, s.pos, avg(s.val) AS cval
+           FROM sub s JOIN codes c ON c.vec_id = s.vec_id AND c.m = s.m
+           GROUP BY c.code, s.m, s.pos),
+    pdt AS (SELECT s.vec_id AS query_id, s.m, cb.code,
+                   sum((s.val - cb.cval) * (s.val - cb.cval)) AS d2
+            FROM sub s JOIN cb ON cb.m = s.m AND cb.pos = s.pos
+            WHERE s.vec_id % {PROBE_MOD} = 0 AND s.vec_id < {PROBE_CAP}
+            GROUP BY s.vec_id, s.m, cb.code),
+    cen AS (SELECT label, pos, avg(val) AS cval
+            FROM expl GROUP BY label, pos),
+    assigned AS (SELECT query_id, cell FROM (
+            SELECT p.vec_id AS query_id, cen.label AS cell,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY sum((p.val - cen.cval)
+                                    * (p.val - cen.cval)), cen.label) AS rn
+            FROM expl p JOIN cen ON cen.pos = p.pos
+            WHERE p.vec_id % {PROBE_MOD} = 0 AND p.vec_id < {PROBE_CAP}
+            GROUP BY p.vec_id, cen.label)
         WHERE rn <= {IVFPQ_PROBE_CELLS}),
     adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d2) AS ad2
             FROM pdt q
@@ -1298,51 +1351,67 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning (IVF) over a PQ-compressed corpus with ADC scoring. The
     structure every production vector index ships (FAISS IVFx,PQy).
 
-    The composition is free here by construction: summing a probe's
-    per-subspace codebook distances over all {m} subspaces for one code
-    IS its full squared-L2 to that label's centroid, so the coarse
-    assignment (top-{p} cells per probe) falls out of the SAME d2 table
-    ADC uses — no second centroid pipeline, no extra corpus pass.
+    The coarse quantizer is the label-cell centroid table (the
+    ``sim_ivf_centroids`` build), assignment by squared L2 over the
+    bounded probe set — in PQ's native metric, consistent with the ADC
+    scores the fine stage produces. (The round-9 composition reused
+    the per-label PQ codebook distances as centroid distances, a trick
+    only possible BECAUSE codes were labels; with production-shape
+    sign-bit codebooks the coarse stage is its own — tiny — pipeline,
+    exactly as FAISS separates coarse and fine quantizers.)
 
-    Scale posture: the ADC scan now touches only the assigned cells'
-    code rows ({p}/n_cells of the code table — which is itself 32×
-    smaller than the embeddings), the per-probe tables and cell
-    assignments broadcast, the embeddings never shuffle. This is the
-    plan whose two dials the recall reports price: n_probe
-    (``sim_ivf_recall_multiprobe``) and PQ_M (``sim_pq_recall_report``).
+    Scale posture: the ADC scan touches only the assigned cells' code
+    rows ({p}/n_cells of the code table — which is itself 32× smaller
+    than the embeddings); the per-probe tables, centroid table and
+    cell assignments broadcast; the embeddings never shuffle. This is
+    the plan whose two dials the recall reports price: n_probe
+    (``sim_ivf_recall_multiprobe``) and the PQ codebook shape
+    (``sim_pq_recall_report``).
     """
-    from dask_lambda_example_spark.io import parquet_column_values
-
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-    sub = _pq_subspace_explode(e)
-    cb = _pq_codebook(sub)
-    pdt = (_pq_probe_d2(sub, cb)
+    grid = _pq_grid(e)
+    coded = _pq_coded(e, grid)
+    cb = _pq_codebook(coded)
+    pdt = (_pq_probe_d2(e, cb)
            .select(F.col("vec_id").alias("query_id"), "m", "code", "d2"))
-    wcell = Window.partitionBy("query_id").orderBy("cd2", "code")
-    assigned = (pdt.groupBy("query_id", "code")
-                   .agg(F.sum("d2").alias("cd2"))
-                   .withColumn("rn", F.row_number().over(wcell))
-                   .filter(F.col("rn") <= IVFPQ_PROBE_CELLS)
-                   .select("query_id", F.col("code").alias("cell")))
+
+    # coarse assignment: probe → top cells by exact L2 to the label
+    # centroids (probe-bounded: |probes| × dim explode against the
+    # broadcast centroid table)
+    expl = e.select("vec_id",
+                    F.posexplode("emb").alias("pos0", "val"))
+    cen = (e.select("label", F.posexplode("emb").alias("pos0", "val"))
+            .groupBy("label", "pos0")
+            .agg(F.avg("val").alias("cval")))
+    cdiff = F.col("val") - F.col("cval")
+    wcell = Window.partitionBy("query_id").orderBy("cd2", "cell")
+    assigned = (expl.filter(_probe_filter())
+                .join(F.broadcast(cen), "pos0")
+                .groupBy(F.col("vec_id").alias("query_id"),
+                         F.col("label").alias("cell"))
+                .agg(F.sum(cdiff * cdiff).alias("cd2"))
+                .withColumn("rn", F.row_number().over(wcell))
+                .filter(F.col("rn") <= IVFPQ_PROBE_CELLS)
+                .select("query_id", "cell"))
 
     # cell-pruned ADC as broadcast equi-joins + a codegen'd map-lookup
     # fold (see sim_pq_adc_search): assigned cells restrict WHICH code
     # rows are scanned, the probe's distance-table map scores them —
     # every join here is a broadcast equi-join, nothing shuffles after
     # the encode projection.
-    codes_wide = _pq_codes_projection(
-        e, cb, parquet_column_values(sf_dir, "embeddings", "label")
-    ).select("vec_id", F.col("label").alias("cell"), "codes")
+    codes_wide = coded.select("vec_id", F.col("label").alias("cell"),
+                              "codes")
     dtm = (pdt.groupBy("query_id")
               .agg(F.map_from_arrays(
-                  F.collect_list((F.col("m") * 256 + F.col("code"))
+                  F.collect_list((F.col("m") * PQ_STRIDE + F.col("code"))
                                  .cast("int")),
                   F.collect_list("d2")).alias("dt")))
     ad2 = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
         lambda acc, m: acc + F.element_at(
-            F.col("dt"), (m * 256 + F.element_at(F.col("codes"), m + 1))
+            F.col("dt"),
+            (m * PQ_STRIDE + F.element_at(F.col("codes"), m + 1))
             .cast("int")))
     adc = (codes_wide
            .join(F.broadcast(assigned), ["cell"])
@@ -1359,4 +1428,4 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ivfpq_search.__doc__ = sim_ivfpq_search.__doc__.format(
-    m=PQ_M, p=IVFPQ_PROBE_CELLS)
+    p=IVFPQ_PROBE_CELLS)

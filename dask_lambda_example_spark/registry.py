@@ -59,16 +59,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. The cumulative union of CORRECTNESS_r01-r08 covers ALL
-# oracle-gated queries green with zero never-verified names (VERDICT r8
-# re-derived this: 44 full green + 6 rows-only re-earns, zero fails) —
-# the backlog is ZERO. The round-9 curated head is therefore small: the
-# six rows-only queries (no oracle → the driver records only that they
-# ran; that weak signal is re-earned EVERY round, since a
-# no-correctness-signal row never marks a query verified — ADVICE r3),
-# the round-9 additions, and the REVERIFY name whose dispatch estimate
-# was rewritten after its green row: 13 names, leaving ~37 surplus
-# window slots that auto-fill with the STALEST-verified names —
+# round. The cumulative union of CORRECTNESS_r01-r09 covers ALL
+# oracle-gated queries green with zero never-verified names (r09: 44
+# full green + 6 rows-only re-earns, zero fails) — the backlog is ZERO.
+# The round-10 curated head: the six rows-only queries (no oracle → the
+# driver records only that they ran; that weak signal is re-earned
+# EVERY round, since a no-correctness-signal row never marks a query
+# verified — ADVICE r3), the round-10 additions, and the REVERIFY
+# names rewritten after their green rows: 16 names, leaving ~34
+# surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (
@@ -79,28 +78,27 @@ PRIORITY_QUERIES = (
     # encode carries a worker-side rank-replay exact gate).
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
-    # round-9 new: WARC archives keyed by the DATA-DRIVEN (lang, bucket)
-    # key — the bounded-archive-size fix for the write-side hot-key
-    # straggler (VERDICT r8 item 5); shares src_warc_scan's
-    # grouping-independent oracle
-    "src_warc_by_lang_scan",
-    # round-9 new: product quantization with ADC scoring (the vector-
-    # compression half of IVF-PQ, full-pipeline oracle), its recall@k
-    # audit in PQ's native L2 metric, and the composed IVF-PQ search
-    # (cell-pruned ADC — the FAISS-style billion-scale path)
+    # round-10 new: the PageRank dispatcher as a registered name
+    # (VERDICT r9 item 1 — the last dual-formulation family whose auto
+    # name had no CORRECTNESS row), unrolled-recurrence oracle
+    "graph_pagerank_auto",
+    # round-10 new: HTML main-text extraction over WARC payloads
+    # (boilerplate gate + entity decode + link census, analytic oracle),
+    # the crawl-side funnel consuming it (VERDICT r9 item 3), and the
+    # outlink edge extraction + link-graph in-degree composition
+    "text_html_extract", "pipeline_crawl_funnel",
+    "text_html_outlinks", "graph_crawl_indegree",
+    # round-10 REVERIFY: the PQ family's codebooks were rewritten to
+    # production shape (3-bit fixed-width lattice per dimension, 64
+    # codes/subspace — VERDICT r9 item 4; recall@3 0.15 → 0.70), and
+    # the IVF-PQ coarse stage became its own centroid pipeline
     "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
-    # round-9 new: two-dimensional Z-order (Morton) clustering with a
-    # footer-verified both-dims-prune contract — the multi-column
-    # sibling of fmt_range_sorted_layout
-    "fmt_zorder_layout",
-    # round-9 new: blocked edit-distance fuzzy join (the short-string
-    # dedup regime MinHash is too coarse for); blocking replicated in
-    # the oracle, levenshtein JVM-side inside blocks only
+    # round-10 REVERIFY: the fuzzy join's blocking key deepened to
+    # (first token, df-capped tail min-gram) — Zipf-proofing with a
+    # provable max-block bound (VERDICT r9 item 2)
     "dedup_fuzzy_title_pairs",
-    # round-9 materially changed (REVERIFY): the theta dispatcher's
-    # estimate is now JOB-FREE (footer rowcount bound + memoized
-    # driver-local pyarrow column read, ADVICE r8) — same dispatch
-    # outcomes at every test SF, but the code that runs changed
+    # round-10 REVERIFY: the theta dispatcher's Arrow estimate now
+    # counts null-size rows on the full side (ADVICE r9)
     "join_theta_auto",
 )
 
@@ -118,18 +116,22 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r9: join_theta_auto's dispatch estimate was rewritten job-free
-# (ADVICE r8 — footer rowcount bound + memoized driver-local pyarrow
-# column read replaces the eager groupBy+collect at plan-build time).
-# Dispatch outcomes are identical at every test SF and the query re-ran
-# strict-parity clean locally; the driver row re-attests it.
-REVERIFY: tuple[str, ...] = ("join_theta_auto",)
+# r10: the PQ family (lattice codebooks + separated IVF-PQ coarse
+# stage), the fuzzy join (df-capped composite blocking key), and the
+# theta dispatcher (null-inclusive full-side count, ADVICE r9) were all
+# rewritten after their r9 green rows; every one re-ran strict-parity
+# clean locally (PARITY_r10), the driver rows re-attest them.
+REVERIFY: tuple[str, ...] = (
+    "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
+    "dedup_fuzzy_title_pairs", "join_theta_auto",
+)
 
 
 def _verdicts() -> dict[str, bool]:

@@ -360,8 +360,11 @@ def make_html_page(doc_id: int, text: str) -> bytes:
     title = " ".join(words[:3])
     mid = (len(words) + 1) // 2
     para1, para2 = " ".join(words[:mid]), " ".join(words[mid:])
+    # in-content links target OTHER documents (doc_id ⊕ 2^j — a
+    # deterministic neighbor that both engines can restate), so the
+    # extracted outlinks form a genuine crawl link graph
     refs = " ".join(
-        f'<a href="/ref/{doc_id}/{j}">ref-{doc_id}-{j}</a>'
+        f'<a href="/doc/{doc_id ^ (1 << j)}">ref-{doc_id}-{j}</a>'
         for j in range(1 + doc_id % 3))
     page = f"""<!DOCTYPE html>
 <html lang="en">
@@ -411,8 +414,11 @@ class _MainTextExtractor:
 
         class _P(HTMLParser):
             def handle_starttag(self, tag, attrs):
-                if tag == "a" and any(k == "href" for k, _ in attrs):
-                    outer.n_links += 1
+                if tag == "a":
+                    hrefs = [v for k, v in attrs if k == "href"]
+                    if hrefs:
+                        outer.n_links += 1
+                        outer.hrefs.append(hrefs[0])
                 if tag in outer.SKIP_TAGS:
                     outer._skip_depth += 1
                 elif tag == "title":
@@ -436,6 +442,7 @@ class _MainTextExtractor:
         self._title_parts: list[str] = []
         self._text_parts: list[str] = []
         self.n_links = 0
+        self.hrefs: list[str] = []  # every <a href>, document order
 
     def feed(self, html_text: str) -> None:
         self._parser.feed(html_text)
@@ -636,6 +643,95 @@ def pipeline_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("s.stage").alias("stage"))
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+def _outlink_archives_scan(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    """(doc_id, href) per anchor, document order — the link-graph read
+    side over the same HTML archives. Module-level so it pickles by
+    reference."""
+    for pdf in batches:
+        rows = {"doc_id": [], "href": []}
+        for raw in pdf["warc"]:
+            for rec in parse_warc_gz(bytes(raw)):
+                if rec["warc_type"] != "response":
+                    continue
+                ex = _MainTextExtractor()
+                ex.feed(rec["payload"].decode("utf-8"))
+                doc_id = int(rec["target_uri"].rsplit("/", 1)[1])
+                for href in ex.hrefs:
+                    rows["doc_id"].append(doc_id)
+                    rows["href"].append(href)
+        yield pd.DataFrame(rows)
+
+
+# per-page link inventory, stated analytically: 3 nav paths, the
+# in-content /doc/ neighbors (doc_id ⊕ 2^j for j < 1 + doc_id % 3), one
+# footer path — list concat + unnest keeps per-document order
+_OUTLINKS_ORACLE = """
+    SELECT doc_id, unnest(
+        ['/', '/a', '/b']
+        || CASE doc_id % 3
+             WHEN 0 THEN ['/doc/' || xor(doc_id, 1)]
+             WHEN 1 THEN ['/doc/' || xor(doc_id, 1),
+                          '/doc/' || xor(doc_id, 2)]
+             ELSE ['/doc/' || xor(doc_id, 1), '/doc/' || xor(doc_id, 2),
+                   '/doc/' || xor(doc_id, 4)]
+           END
+        || ['/about']) AS href
+    FROM documents
+    """
+
+
+@query("text_html_outlinks", oracle=_OUTLINKS_ORACLE)
+def text_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over the HTML crawl archives — the link-graph
+    half of crawl processing (``text_html_extract`` is the prose half):
+    one (doc_id, href) row per ``<a href>`` anchor, nav/footer
+    boilerplate links included (a link census is about the page). The
+    in-content links target OTHER documents (deterministic ⊕-neighbors
+    baked into ``make_html_page``), so the output is a genuine crawl
+    link graph; the oracle restates the full per-page inventory
+    analytically. Same scale posture as every archive scan: one
+    write-side grouping shuffle, shuffle-free per-archive
+    ``mapInPandas`` read, bytes never shuffle."""
+    return _html_warc_archives(spark, sf_dir).mapInPandas(
+        _outlink_archives_scan, "doc_id long, href string")
+
+
+_INDEGREE_ORACLE = """
+    WITH links AS (
+        SELECT xor(doc_id, 1) AS t FROM documents
+        UNION ALL SELECT xor(doc_id, 2) FROM documents WHERE doc_id % 3 >= 1
+        UNION ALL SELECT xor(doc_id, 4) FROM documents WHERE doc_id % 3 = 2)
+    SELECT t AS target_doc, count(*) AS indegree
+    FROM links GROUP BY t
+    """
+
+
+@query("graph_crawl_indegree", oracle=_INDEGREE_ORACLE)
+def graph_crawl_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph in-degree — the first aggregate every crawl
+    pipeline computes over its extracted edges (the input to spam
+    heuristics and PageRank seeding). Consumes the REGISTERED
+    ``text_html_outlinks`` as a function: document links only (the
+    ``/doc/`` namespace — boilerplate nav/footer paths are not graph
+    edges), target parsed from the href, one count shuffle keyed by
+    target. The oracle derives the same multiset of targets
+    analytically from the ⊕-neighbor construction, so extraction,
+    namespace filter, parse and count are value-checked end-to-end.
+    Scale: in-degree of a link graph is the textbook skewed
+    aggregation — this is a map-side-combinable single shuffle, the
+    shape that absorbs hot targets; dangling targets (links to
+    never-crawled ids) appear with their in-degree exactly as a real
+    link table keeps them."""
+    links = text_html_outlinks(spark, sf_dir)
+    return (links
+            .filter(F.col("href").startswith("/doc/"))
+            .select(F.substring_index(F.col("href"), "/", -1)
+                     .cast("long").alias("target_doc"))
+            .groupBy("target_doc")
+            .agg(F.count("*").alias("indegree")))
 
 
 TAR_DOCS_PER_FILE = 100        # documents per synthetic tarball

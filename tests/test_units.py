@@ -471,6 +471,15 @@ def test_html_extractor_boilerplate_entities_and_nesting():
     _, _, n = extract_main_text(b"<body><a name='x'>anchor</a></body>")
     assert n == 0
 
+    # outlink inventory in document order: nav, ⊕-neighbor content
+    # links (5⊕1=4, 5⊕2=7, 5⊕4=1), footer
+    from dask_lambda_example_spark.sources.warc import _MainTextExtractor
+
+    ex = _MainTextExtractor()
+    ex.feed(make_html_page(5, "aa bb cc dd ee").decode())
+    assert ex.hrefs == ["/", "/a", "/b", "/doc/4", "/doc/7", "/doc/1",
+                        "/about"]
+
 
 def test_crawl_funnel_stages_are_monotone(spark, sf_dir):
     from dask_lambda_example_spark.registry import QUERIES
