@@ -1315,3 +1315,122 @@ def dedup_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
                      dist.alias("edit_dist")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — crawl-pipeline step 1
+# ---------------------------------------------------------------------------
+
+# Query parameters that identify a tracking campaign, not a resource:
+# two fetches differing only in these are the same page.
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url(url):
+    """Column expression canonicalizing an arbitrary URL string — the
+    normalization every crawl pipeline applies BEFORE content dedup
+    (CommonCrawl / C4 step 1: most crawl duplicates are the same
+    resource under syntactic URL variants, and collapsing them here is
+    a string projection instead of a content shuffle). Rules, all
+    standard (RFC 3986 §6 syntax-based normalization plus the usual
+    crawl extensions):
+
+    - scheme and host case-fold (``HTTPS://WWW.Host`` → ``https://``);
+    - a leading ``www.`` label and an explicit default port drop
+      (``parse_url(HOST)`` already excludes the port);
+    - the fragment drops (never sent to the server);
+    - tracking parameters (``utm_*``, ``fbclid``, ``gclid``) drop, the
+      surviving query parameters sort (parameter order is not
+      resource identity), an emptied query loses its ``?``;
+    - trailing path slashes strip.
+
+    Entirely ``parse_url``/regex/higher-order-function codegen — one
+    projection, no UDF, no shuffle."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))),
+                            r"^www\.", "")
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE))), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")))
+
+
+# The oracle derives each group's canonical form analytically from the
+# construction (k = doc_id//2; the raw-variant generator below is built
+# so both members of a k-pair canonicalize identically): sorted kept
+# params are 'id=k' (+ '&lang=en' when k%3=0, and 'id' < 'lang'
+# lexicographically), host case/www/port/fragment/trailing-slash all
+# normalize away. Spark runs the REAL canonicalizer over the raw
+# strings; equality of the two derivations is exactly the correctness
+# of the canonicalization rules.
+_URL_CANON_ORACLE = """
+    WITH g AS (SELECT doc_id, doc_id // 2 AS k FROM documents)
+    SELECT 'https://host' || (k % 97) || '.example.com/doc/' || k
+           || '?id=' || k
+           || CASE WHEN k % 3 = 0 THEN '&lang=en' ELSE '' END
+               AS canonical_url,
+           min(doc_id) AS keep_doc,
+           count(*) AS n_variants
+    FROM g GROUP BY k
+    """
+
+
+@query("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — collapse syntactic URL variants of
+    the same resource and elect a canonical representative (min doc_id)
+    per group, the cheapest and first dedup of any crawl pipeline
+    (before any content hash: no document bytes move, the only shuffle
+    carries the canonical-URL strings).
+
+    The corpus has no URL column, so the query synthesizes the
+    raw fetch URLs deterministically from (doc_id, k=doc_id//2) with
+    exactly the variant noise real crawl frontiers carry — scheme/host
+    case, a ``www.`` label, an explicit ``:443``, a trailing slash,
+    tracking parameters in varying positions, parameter order, a
+    fragment — such that the two members of each k-pair are DIFFERENT
+    raw strings naming the SAME resource. ``canonical_url`` (the real,
+    input-agnostic normalizer above) must therefore collapse the corpus
+    2→1; the oracle states each group's canonical form analytically, so
+    any rule misfiring (a surviving tracking param, an unsorted query,
+    an unstripped port) breaks the hash match.
+
+    Scale posture: projection + ONE hash shuffle on the canonical
+    string — the same shape as ``dedup_exact`` with the content hash
+    replaced by a derived key. At 100 TB the canonicalizer runs
+    map-side in codegen; nothing else changes."""
+    d = F.col("doc_id")
+    k = F.expr("doc_id DIV 2")
+    host_core = F.concat(F.lit("host"), (k % 97).cast("string"),
+                         F.lit(".example.com"))
+    raw = F.concat(
+        F.when(d % 13 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper(host_core)).otherwise(host_core),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"), k.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?id="), k.cast("string"),
+                        F.lit("&utm_source=feed"),
+                        F.when(k % 3 == 0, F.lit("&lang=en"))
+                         .otherwise(F.lit(""))))
+         .otherwise(
+               F.concat(F.lit("?utm_campaign=x"),
+                        F.when(k % 3 == 0, F.lit("&lang=en"))
+                         .otherwise(F.lit("")),
+                        F.lit("&id="), k.cast("string"))),
+        F.when(d % 3 != 0, F.concat(F.lit("#sec"), (d % 3).cast("string")))
+         .otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (docs.select("doc_id", canonical_url(raw).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("keep_doc"),
+                 F.count("*").alias("n_variants")))

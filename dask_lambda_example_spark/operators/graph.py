@@ -30,7 +30,21 @@ PR_ITERS = 3
 PR_DAMP = 0.85
 
 
-def _pagerank_oracle() -> str:
+# Non-recursive CTEs defining the trade graph: the prelude every
+# trade-graph PageRank oracle shares. A different prelude (same
+# edges/nodes contract) retargets the identical unrolled recurrence at
+# another graph — see the crawl link graph below.
+_TRADE_PR_PRELUDE = """
+    e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges)"""
+
+
+def _pagerank_oracle(prelude: str = _TRADE_PR_PRELUDE) -> str:
+    """Unrolled PageRank recurrence over whatever graph ``prelude``
+    defines (CTEs ``edges(src, dst)`` and ``nodes(node)``)."""
     rec = """
     r{i} AS (
         SELECT n.node,
@@ -43,17 +57,42 @@ def _pagerank_oracle() -> str:
     iters = ",".join(
         rec.format(i=i + 1, prev=i, damp=PR_DAMP) for i in range(PR_ITERS))
     return f"""
-    WITH e0 AS (
-        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    WITH {prelude},
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
     {iters}
     SELECT node, CAST(round(rank, 6) AS REAL) AS rank
     FROM r{PR_ITERS}
     """
+
+
+def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The broadcast-formulation recurrence shared by every PageRank
+    query: rank and degree vectors are |nodes|-sized → broadcast; each
+    iteration's only shuffle groups contributions by destination. The
+    caller owns the edge list's materialization (``localCheckpoint``)
+    and its node/edge column contract (``nodes(node)``,
+    ``edges(src, dst)``)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks),
+                       edges.src == F.col("node"))
+            .join(F.broadcast(deg), "src")
+            .select(F.col("dst"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select("node",
+                    (0.15 + PR_DAMP * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                    .alias("rank"))
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).cast("float").alias("rank"))
 
 
 @query("graph_pagerank", oracle=_pagerank_oracle())
@@ -89,26 +128,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("src").alias("dst")))
              .localCheckpoint(eager=True))
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks),
-                       edges.src == F.col("node"))
-            .join(F.broadcast(deg), "src")
-            .select(F.col("dst"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select("node",
-                    (0.15 + PR_DAMP * F.coalesce(F.col("in_sum"), F.lit(0.0)))
-                    .alias("rank"))
-        )
-    return ranks.select(
-        "node", F.round("rank", 6).cast("float").alias("rank"))
+    return _pr_broadcast_loop(nodes, edges)
 
 
 graph_pagerank.__doc__ = graph_pagerank.__doc__.format(n=PR_ITERS)
@@ -303,3 +323,59 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_reachability_rcte.__doc__ = graph_reachability_rcte.__doc__.format(
     h=RCTE_MAX_HOPS)
+
+
+# The crawl link graph, as the oracle sees it: the HTML pages'
+# in-content anchors target deterministic ⊕-neighbor documents
+# (sources/warc.py make_html_page — xor 1 always, xor 2 for
+# doc_id%3>=1, xor 4 for doc_id%3=2; the same analytic census that
+# gates graph_crawl_indegree), closed over the crawled corpus (targets
+# that were never fetched have no page to rank).
+_CRAWL_PR_PRELUDE = """
+    l0 AS (
+        SELECT doc_id AS src, xor(doc_id, 1) AS dst FROM documents
+        UNION ALL SELECT doc_id, xor(doc_id, 2) FROM documents
+            WHERE doc_id % 3 >= 1
+        UNION ALL SELECT doc_id, xor(doc_id, 4) FROM documents
+            WHERE doc_id % 3 = 2),
+    edges AS (SELECT l0.src, l0.dst FROM l0
+              JOIN documents d ON d.doc_id = l0.dst),
+    nodes AS (SELECT doc_id AS node FROM documents)"""
+
+
+@query("graph_crawl_pagerank", oracle=_pagerank_oracle(_CRAWL_PR_PRELUDE))
+def graph_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the EXTRACTED crawl link graph — the composition
+    every web-corpus pipeline runs (CommonCrawl → link graph → rank as
+    a quality prior for curation): WARC archives → streaming HTML
+    anchor census (the registered ``text_html_outlinks``) → document
+    namespace filter + target parse → semi-join against the crawled
+    corpus (dangling targets have no page to rank) → the same
+    damping-0.85 fixed-iteration recurrence as the trade-graph family.
+    Unlike ``graph_pagerank`` the edge list here is DIRECTED and built
+    from parsed page bytes, so the oracle (analytic ⊕-neighbor census +
+    identical unrolled recurrence) value-checks extraction, parsing,
+    graph closure and the iteration end-to-end.
+
+    Scale posture: the HTML parse is the expensive operand and runs
+    EXACTLY ONCE — the parsed edge list is ``localCheckpoint``-ed
+    before the loop (PR_ITERS scans of a checkpointed long-pair list,
+    never PR_ITERS re-parses of the archive bytes). Per iteration the
+    broadcast formulation ships the |docs|-sized rank vector; on a
+    billion-page graph flip to the co-partitioned recurrence exactly as
+    ``pagerank_auto`` does for the trade graph — the loop is shared
+    (``_pr_broadcast_loop``), only the edge construction differs."""
+    from dask_lambda_example_spark.sources.warc import text_html_outlinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    links = text_html_outlinks(spark, sf_dir)
+    edges = (
+        links.filter(F.col("href").startswith("/doc/"))
+        .select(F.col("doc_id").alias("src"),
+                F.substring_index(F.col("href"), "/", -1)
+                 .cast("long").alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return _pr_broadcast_loop(nodes, edges)

@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-10 additions, and the REVERIFY
-# names rewritten after their green rows: 16 names, leaving ~34
+# names rewritten after their green rows: 18 names, leaving ~32
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
@@ -88,6 +88,12 @@ PRIORITY_QUERIES = (
     # outlink edge extraction + link-graph in-degree composition
     "text_html_extract", "pipeline_crawl_funnel",
     "text_html_outlinks", "graph_crawl_indegree",
+    # round-10 new: PageRank over the EXTRACTED crawl link graph (WARC →
+    # anchor census → corpus closure → the shared recurrence; analytic
+    # ⊕-neighbor oracle checks extraction→iteration end-to-end) and
+    # URL-canonicalization dedup (crawl step 1: real parse_url/HOF
+    # normalizer over synthesized raw-variant URLs, analytic oracle)
+    "graph_crawl_pagerank", "dedup_url_canonical",
     # round-10 REVERIFY: the PQ family's codebooks were rewritten to
     # production shape (3-bit fixed-width lattice per dimension, 64
     # codes/subspace — VERDICT r9 item 4; recall@3 0.15 → 0.70), and

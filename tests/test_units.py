@@ -1522,3 +1522,68 @@ def test_scale_campaign_artifacts_are_sane():
              if r["audit"] == "stream_stream_join" and r["partitions"] == 8}
     assert joins["sf1"] == 10 * joins["sf0.1"]
     assert joins["sf10"] == 10 * joins["sf1"]
+
+
+def test_url_canonicalizer_rules(spark):
+    # Each raw URL exercises one canonicalization rule in isolation
+    # (the registered query's parity run only proves the composed
+    # behavior over the synthesized corpus; these pin the rules on
+    # adversarial literals an arbitrary crawl frontier would contain).
+    from dask_lambda_example_spark.operators.dedup import canonical_url
+
+    cases = [
+        # case-fold + www + default port + fragment
+        ("HTTPS://WWW.Example.COM:443/A/b#frag", "https://example.com/A/b"),
+        # tracking params drop, survivors sort, '?' survives
+        ("https://h.io/p?utm_source=x&b=2&a=1&gclid=z&fbclid=q",
+         "https://h.io/p?a=1&b=2"),
+        # ALL params tracking -> query and its '?' disappear
+        ("https://h.io/p?utm_campaign=only", "https://h.io/p"),
+        # trailing slashes strip (also repeated)
+        ("https://h.io/dir///", "https://h.io/dir"),
+        # a non-www host label is NOT stripped; path case preserved
+        ("https://www2.h.io/Q?id=1", "https://www2.h.io/Q?id=1"),
+        # utm must match as a PREFIXED PARAM NAME, not a value substring
+        ("https://h.io/p?q=utm_source", "https://h.io/p?q=utm_source"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+    # the canonicalizer is pure codegen: no Python evaluation node
+    plan = df.select(canonical_url(F.col("url")))._jdf.queryExecution() \
+             .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonical_dedup_collapses_pairs(spark, sf_dir):
+    # Construction invariant: raw variants collapse exactly by k-pair —
+    # every group keeps the even member and has <= 2 variants, and the
+    # group count equals ceil(n_docs / 2) (nothing over- or
+    # under-merged).
+    from dask_lambda_example_spark.operators.dedup import dedup_url_canonical
+    from dask_lambda_example_spark.io import load_table
+
+    out = dedup_url_canonical(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == (n_docs + 1) // 2
+    assert all(r.keep_doc % 2 == 0 and r.n_variants in (1, 2) for r in out)
+    assert sum(r.n_variants for r in out) == n_docs
+
+
+def test_crawl_pagerank_graph_closure(spark, sf_dir):
+    # The crawl edge list must be CLOSED over the corpus (dangling
+    # ⊕-targets dropped by the semi-join) and the recurrence must
+    # produce one rank per crawled document with the damping floor.
+    from dask_lambda_example_spark.operators.graph import (
+        graph_crawl_pagerank)
+    from dask_lambda_example_spark.io import load_table
+
+    out = graph_crawl_pagerank(spark, sf_dir)
+    rows = out.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(r.rank >= 0.15 - 1e-6 for r in rows)
+    # rank mass: with dangling-node loss, total rank <= n*(0.15+0.85)=n
+    total = sum(r.rank for r in rows)
+    assert 0.15 * n_docs - 1e-3 <= total <= n_docs + 1e-3
