@@ -44,7 +44,12 @@ def main() -> int:
         if not os.path.exists(f"{sf_dir}/events.parquet"):
             print(f"SKIP {tag}: {sf_dir} missing", file=sys.stderr)
             continue
-        m = _run_to_completion(join_query(spark, sf_dir), "append")
+        # ONE micro-batch per tier: the ladder measures STATE cost, so
+        # the whole backlog must be resident in the state store at once
+        # (a sliced replay would watermark-drop the later slices and
+        # report batch-1 state only).
+        m = _run_to_completion(
+            join_query(spark, sf_dir, files_per_trigger=None), "append")
         rec = {"audit": "stream_stream_join_const_density", "sf": tag,
                "sf_dir": sf_dir, **m}
         results.append(rec)

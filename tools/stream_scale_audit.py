@@ -98,22 +98,27 @@ def ingest_query(spark, sf_dir: str):
                  F.round(F.sum("value"), 6).alias("sum_v")))
 
 
-def join_query(spark, sf_dir: str):
+def join_query(spark, sf_dir: str,
+               files_per_trigger: int | None = MAX_FILES_PER_TRIGGER):
     """The registered stream-stream attribution join, re-built here so
     the audit owns the query handle (the registered version runs and
-    returns the sink table)."""
+    returns the sink table). ``files_per_trigger=None`` ingests the
+    whole backlog as ONE micro-batch — required when the measurement
+    target is peak state (a sliced full-time-range replay advances the
+    watermark after batch 1 and evicts/lateness-drops the remaining
+    history, so peak state would reflect one slice, not the tier)."""
     from pyspark.sql import functions as F
 
     from dask_lambda_example_spark.streaming.pipeline import events_stream
 
     views = (events_stream(spark, sf_dir,
-                           files_per_trigger=MAX_FILES_PER_TRIGGER)
+                           files_per_trigger=files_per_trigger)
              .filter(F.col("event_type") == "view")
              .select("user_id", F.col("event_id").alias("view_id"),
                      F.col("ts").alias("view_ts"))
              .withWatermark("view_ts", "2 hours"))
     clicks = (events_stream(spark, sf_dir,
-                            files_per_trigger=MAX_FILES_PER_TRIGGER)
+                            files_per_trigger=files_per_trigger)
               .filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user_id"),
                       F.col("event_id").alias("click_id"),
