@@ -24,6 +24,8 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -966,59 +968,70 @@ def sim_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the vector-COMPRESSION half of billion-scale ANN (Jégou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS IVF-PQ
 # scale path). IVF above prunes WHICH cells to scan; PQ shrinks WHAT is
-# scanned: each d-dim float vector becomes PQ_M small codes (here 8 codes
-# for 64 dims x float32 = 32x compression), and a query scans codes with
-# per-subspace table lookups instead of full-width float math.
+# scanned: each d-dim float vector becomes PQ_M small codes (here 32
+# byte-sized codes vs 64 dims × float32 = 256 bytes — 8x compression),
+# and a query scans codes with per-subspace table lookups instead of
+# full-width float math.
 # ---------------------------------------------------------------------------
 
 PQ_M = 32         # subspaces; dim 64 → 2 dims per subspace
 PQ_DSUB = 64 // PQ_M
-PQ_BITS = 3       # quantizer bits per dimension (8 fixed-width levels)
+# quantizer bits per dimension (default 3 → 8 fixed-width levels).
+# Env-dialable so the compression↔recall trade is MEASURABLE, not
+# asserted: the oracle SQL is built from the same constant at import,
+# so a dialed run stays oracle-gated (GROWTH_r10_pq_tiers.json).
+PQ_BITS = int(os.environ.get("SPARK_GRAFT_PQ_BITS", "3"))
 PQ_LEVELS = 1 << PQ_BITS
 PQ_K = PQ_LEVELS ** PQ_DSUB   # codes per subspace (64 at 3 bits × 2 dims)
-PQ_STRIDE = 256   # (m, code) map-key packing stride
+PQ_STRIDE = PQ_K  # (m, code) slot packing stride: slot = m·stride + code
 PQ_TOPK = IVF_K   # neighbors returned per probe
 
 # the packing m*PQ_STRIDE+code collides silently if a code ever reaches
 # the stride (ADVICE r9 — the round-9 data-driven label domain made this
 # a latent hazard; the lattice domain makes it structural): codes are
 # < PQ_LEVELS**PQ_DSUB by construction, so pin that against the stride.
-assert PQ_K <= PQ_STRIDE, "PQ code domain must fit the map-key stride"
+assert PQ_K <= PQ_STRIDE, "PQ code domain must fit the slot-packing stride"
 
 
 def _pq_grid(e: DataFrame) -> DataFrame:
-    """1-row frame with two broadcastable maps pos0 → (min, bin width):
-    the per-dimension fixed-width quantization grid — ``PQ_LEVELS``
-    equal bins across [min, max]. min/max are chosen over trained
-    centroids deliberately: they are ORDER-INDEPENDENT exact
-    reductions, so Spark and DuckDB derive bit-identical grids and the
-    bin assignment (one subtract/divide/floor per dimension) can never
-    diverge between the engines. Width is floored at 1e-30 so a
-    constant dimension bins to 0 instead of dividing by zero. One
-    partial+final aggregation over dim groups regardless of corpus
-    size."""
+    """1-row frame with two broadcastable POSITIONAL ARRAYS (min and
+    bin width per dimension, index = pos): the per-dimension
+    fixed-width quantization grid — ``PQ_LEVELS`` equal bins across
+    [min, max]. min/max are chosen over trained centroids
+    deliberately: they are ORDER-INDEPENDENT exact reductions, so
+    Spark and DuckDB derive bit-identical grids and the bin assignment
+    (one subtract/divide/floor per dimension) can never diverge
+    between the engines. Width is floored at 1e-30 so a constant
+    dimension bins to 0 instead of dividing by zero. One partial+final
+    aggregation over dim groups regardless of corpus size.
+
+    Arrays, not maps (round-10 measurement): the encode projection
+    reads the grid 2×dim times PER ROW, and ``element_at`` on a Spark
+    map is a linear scan of its key array — 64-entry maps made the
+    encode ~5 ms/row; positional arrays are O(1) and the same encode
+    is ~15 µs/row (3.1 s for the 200 k-row tier)."""
     return (e.select(F.posexplode("emb").alias("pos0", "val"))
              .groupBy("pos0")
              .agg(F.min("val").alias("mn"),
                   F.greatest(F.max("val") - F.min("val"),
                              F.lit(1e-30)).alias("w"))
-             .agg(F.map_from_arrays(
-                      F.collect_list(F.col("pos0").cast("int")),
-                      F.collect_list("mn")).alias("mnm"),
-                  F.map_from_arrays(
-                      F.collect_list(F.col("pos0").cast("int")),
-                      F.collect_list("w")).alias("wm")))
+             .agg(F.array_sort(F.collect_list(F.struct("pos0", "mn")))
+                   .alias("s1"),
+                  F.array_sort(F.collect_list(F.struct("pos0", "w")))
+                   .alias("s2"))
+             .select(F.transform("s1", lambda s: s["mn"]).alias("mna"),
+                     F.transform("s2", lambda s: s["w"]).alias("wa")))
 
 
 def _pq_bin_expr(pos: int):
     """The ``PQ_BITS``-bit lattice bin of dimension ``pos`` against the
-    broadcast grid maps: least(levels-1, floor((x - min) / w · levels))
-    — pure codegen, dialect-portable (DuckDB: identical floor/least;
-    floor output is integral so its INT cast is exact under DuckDB's
-    round-on-cast)."""
+    broadcast grid arrays: least(levels-1, floor((x - min) / w ·
+    levels)) — pure codegen, dialect-portable (DuckDB: identical
+    floor/least; floor output is integral so its INT cast is exact
+    under DuckDB's round-on-cast)."""
     x = F.element_at(F.col("emb"), pos + 1)
-    mn = F.element_at(F.col("mnm"), F.lit(pos).cast("int"))
-    w = F.element_at(F.col("wm"), F.lit(pos).cast("int"))
+    mn = F.element_at(F.col("mna"), pos + 1)
+    w = F.element_at(F.col("wa"), pos + 1)
     return F.least(F.lit(PQ_LEVELS - 1),
                    F.floor((x - mn) / w * PQ_LEVELS)).cast("int")
 
@@ -1052,8 +1065,8 @@ def _pq_coded(e: DataFrame, grid: DataFrame) -> DataFrame:
 
 def _pq_codebook(coded: DataFrame) -> DataFrame:
     """(code, m, pos0, cval): per-bin mean subvectors — the
-    reconstruction values of the sign quantizer (the centroid of every
-    occupied bin, exactly what k-means converges to for a fixed
+    reconstruction values of the lattice quantizer (the centroid of
+    every occupied bin, exactly what k-means converges to for a fixed
     assignment). One partial+final aggregation over ≤ PQ_M × PQ_K × dim
     groups regardless of corpus size; empty bins simply don't occur in
     the output (they have no members to reconstruct)."""
@@ -1079,6 +1092,63 @@ def _pq_probe_d2(e: DataFrame, cb: DataFrame) -> DataFrame:
     return (sub.join(F.broadcast(cb), "pos0")
                .groupBy("vec_id", "m", "code")
                .agg(F.sum(diff * diff).alias("d2")))
+
+
+def _pq_dt_array(pdt: DataFrame) -> DataFrame:
+    """(query_id, dta): each probe's ADC distance table as ONE DENSE
+    POSITIONAL array of ``PQ_M × PQ_STRIDE`` slots (slot = m·stride +
+    code), so the pair-side score is O(1) array indexes.
+
+    Round-10 measurement lesson (the production-shape code domain made
+    both wrong forms visible): (a) keeping the table as a per-probe
+    MAP makes every pair-side ``element_at`` a linear scan of the
+    map's key array; (b) densifying the map with
+    ``transform(sequence(...), i -> element_at(map, i))`` re-evaluates
+    the map expression inside the lambda per slot — measured 150-260 s
+    at sf0.1 for 80 probes. The shape that stays fast is relational:
+    LEFT-join the probe × slot spine (|probes| × PQ_M·PQ_STRIDE
+    rows, broadcast hash join) against the occupied entries, then
+    ``array_sort(collect_list(struct(slot, d2)))`` and a single
+    field-extract transform — every per-entry operation is a plain
+    join/aggregate, the only lambda touches 1 struct field per slot.
+    Unoccupied slots carry null and are never indexed (every
+    candidate's code is an occupied bin by construction)."""
+    spark = pdt.sparkSession
+    slots = spark.range(PQ_M * PQ_STRIDE).select(
+        F.col("id").cast("int").alias("slot"))
+    entries = pdt.select(
+        "query_id",
+        (F.col("m") * PQ_STRIDE + F.col("code")).cast("int").alias("slot"),
+        "d2")
+    spine = (pdt.select("query_id").distinct()
+                .crossJoin(F.broadcast(slots)))
+    return (spine.join(entries, ["query_id", "slot"], "left")
+                 .groupBy("query_id")
+                 .agg(F.array_sort(
+                          F.collect_list(F.struct("slot", "d2")))
+                       .alias("ent"))
+                 .select("query_id",
+                         F.transform(F.col("ent"), lambda s: s["d2"])
+                          .alias("dta")))
+
+
+def _pq_adc_fold():
+    """Approximate squared L2 = Σ_m dta[m·stride + code_m] — unrolled
+    into ``PQ_M`` plain ``element_at`` terms (no higher-order
+    function: an HOF lambda is evaluated per element outside
+    whole-stage codegen; 32 literal index expressions stay inside
+    it)."""
+    terms = [
+        F.element_at(
+            F.col("dta"),
+            (F.lit(m * PQ_STRIDE) + F.element_at(F.col("codes"), m + 1)
+             + 1).cast("int"))
+        for m in range(PQ_M)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _pq_adc_oracle() -> str:
@@ -1156,7 +1226,9 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. **ADC**: each probe's per-(subspace, code) distance table is d2
        restricted to the probe set — asymmetric distance: query stays
        full-precision, corpus is code lookups. Approximate squared
-       L2 = Σ_m dt[m, code_m(x)]: the probe tables broadcast as maps
+       L2 = Σ_m dt[m, code_m(x)]: the probe tables broadcast as DENSE
+       positional arrays (maps would be linear key scans per lookup —
+       ``_pq_dt_array``)
        and the Σ folds in whole-stage codegen over the code table —
        NO full-width float math against the corpus, no shuffle after
        the encode projection.
@@ -1172,30 +1244,30 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     grid = _pq_grid(e)
-    coded = _pq_coded(e, grid)
+    # Materialize the encode ONCE (round-10 measurement): the coded
+    # frame feeds BOTH the codebook build and the pair-side scan, and
+    # without a materialization barrier Catalyst inlines the ~3,000-op
+    # encode expression into the pair projection — re-encoding the
+    # corpus row PER CANDIDATE PAIR (measured 37 s vs 5.5 s at sf0.1).
+    # The checkpoint is n × (id + PQ_M ints): the codes table a real
+    # pipeline would persist, at exactly the compression PQ promises.
+    coded = _pq_coded(e, grid).localCheckpoint(eager=True)
     cb = _pq_codebook(coded)
     codes_wide = coded.select("vec_id", "codes")
 
-    # ADC as a broadcast MAP-LOOKUP FOLD, not a join+re-aggregation
+    # ADC as a broadcast ARRAY-INDEX FOLD, not a join+re-aggregation
     # (round-9 lesson: the relational form pushed n×M×|probes| rows
     # through a hash aggregate — 320M rows at sf10, 67.8s; the fold
-    # scans |probes|×n rows once in codegen).
-    dtm = (_pq_probe_d2(e, cb)
-           .groupBy(F.col("vec_id").alias("query_id"))
-           .agg(F.map_from_arrays(
-               F.collect_list((F.col("m") * PQ_STRIDE + F.col("code"))
-                              .cast("int")),
-               F.collect_list("d2")).alias("dt")))
-    ad2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("dt"),
-            (m * PQ_STRIDE + F.element_at(F.col("codes"), m + 1))
-            .cast("int")))
+    # scans |probes|×n rows once in codegen) — and not a MAP fold
+    # (round-10 lesson in _pq_dt_array: map element_at is a linear
+    # key scan, 18× at the production code domain).
+    dtm = _pq_dt_array(
+        _pq_probe_d2(e, cb).select(F.col("vec_id").alias("query_id"),
+                                   "m", "code", "d2"))
     adc = (codes_wide
            .join(F.broadcast(dtm), F.col("vec_id") != F.col("query_id"))
            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                   ad2.alias("ad2")))
+                   _pq_adc_fold().alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     return (adc.withColumn("rank", F.row_number().over(wrank))
@@ -1357,11 +1429,11 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores the fine stage produces. (The round-9 composition reused
     the per-label PQ codebook distances as centroid distances, a trick
     only possible BECAUSE codes were labels; with production-shape
-    sign-bit codebooks the coarse stage is its own — tiny — pipeline,
+    lattice codebooks the coarse stage is its own — tiny — pipeline,
     exactly as FAISS separates coarse and fine quantizers.)
 
     Scale posture: the ADC scan touches only the assigned cells' code
-    rows ({p}/n_cells of the code table — which is itself 32× smaller
+    rows ({p}/n_cells of the code table — which is itself ~8× smaller
     than the embeddings); the per-probe tables, centroid table and
     cell assignments broadcast; the embeddings never shuffle. This is
     the plan whose two dials the recall reports price: n_probe
@@ -1371,7 +1443,10 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     grid = _pq_grid(e)
-    coded = _pq_coded(e, grid)
+    # encode materialized once — see sim_pq_adc_search for the
+    # round-10 inlined-re-encode measurement that makes this barrier
+    # load-bearing, not an optimization nicety
+    coded = _pq_coded(e, grid).localCheckpoint(eager=True)
     cb = _pq_codebook(coded)
     pdt = (_pq_probe_d2(e, cb)
            .select(F.col("vec_id").alias("query_id"), "m", "code", "d2"))
@@ -1395,30 +1470,21 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") <= IVFPQ_PROBE_CELLS)
                 .select("query_id", "cell"))
 
-    # cell-pruned ADC as broadcast equi-joins + a codegen'd map-lookup
-    # fold (see sim_pq_adc_search): assigned cells restrict WHICH code
-    # rows are scanned, the probe's distance-table map scores them —
-    # every join here is a broadcast equi-join, nothing shuffles after
-    # the encode projection.
+    # cell-pruned ADC as broadcast equi-joins + a codegen'd
+    # array-index fold (see sim_pq_adc_search / _pq_dt_array):
+    # assigned cells restrict WHICH code rows are scanned, the probe's
+    # dense distance-table array scores them — every join here is a
+    # broadcast equi-join, nothing shuffles after the encode
+    # projection.
     codes_wide = coded.select("vec_id", F.col("label").alias("cell"),
                               "codes")
-    dtm = (pdt.groupBy("query_id")
-              .agg(F.map_from_arrays(
-                  F.collect_list((F.col("m") * PQ_STRIDE + F.col("code"))
-                                 .cast("int")),
-                  F.collect_list("d2")).alias("dt")))
-    ad2 = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("dt"),
-            (m * PQ_STRIDE + F.element_at(F.col("codes"), m + 1))
-            .cast("int")))
+    dtm = _pq_dt_array(pdt)
     adc = (codes_wide
            .join(F.broadcast(assigned), ["cell"])
            .join(F.broadcast(dtm), ["query_id"])
            .filter(F.col("vec_id") != F.col("query_id"))
            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                   ad2.alias("ad2")))
+                   _pq_adc_fold().alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     return (adc.withColumn("rank", F.row_number().over(wrank))

@@ -67,20 +67,33 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
                 os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
     )
     if not os.environ.get("SPARK_GRAFT_REMOTE"):
-        # Local test/bench mode: single JVM, all memory to the driver.
+        # Local test/bench mode: single JVM. Driver heap is 16g, NOT
+        # "all the machine's memory" (round-10 measurement): with a 90g
+        # heap the allocation-heavy query shapes (HOF folds, BNLJ probe
+        # scans) collapsed into 85-95% KERNEL time — the JVM's giant
+        # heap mapping keeps the kernel busy committing/uncommitting
+        # and huge-page-collapsing tens of GB around every GC cycle —
+        # measured 188 s vs 8.4 s on the same sf10 brute-force cosine
+        # scan (capping only the young gen did NOT help; total mapping
+        # size is what hurts). 16g comfortably holds every working set
+        # in the battery (largest: ~1 GB of watermark state + shuffle
+        # buffers; Spark spills gracefully if a future query outgrows
+        # it) and matches the 8-32 GB per-executor sizing a real
+        # cluster would use — a 90g executor was never the deployment
+        # shape. Override with SPARK_GRAFT_DRIVER_MEM.
         # (A smaller AQE advisoryPartitionSizeInBytes speeds up the
         # CPU-dense/byte-light dedup aggregations 2× in isolation, but
         # measurably degrades a long multi-query session — keep the
         # default; per-query parallelism needs are handled with explicit
         # repartition instead.)
         builder = builder.master(f"local[{cpus}]").config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         ).config(
             # ContextCleaner only drops shuffle files / broadcast state
-            # when the JVM GCs the owning objects; with a 90g heap G1
-            # may not collect for many minutes, so a long multi-query
-            # session accumulates dead shuffle state on disk and in the
-            # old gen. The default periodic-GC interval (30min) never
+            # when the JVM GCs the owning objects; if G1 goes minutes
+            # between collections, a long multi-query session
+            # accumulates dead shuffle state on disk and in the old
+            # gen. The default periodic-GC interval (30min) never
             # fires inside a typical bench/test session — 5min keeps
             # cleanup amortized. No-op for short sessions.
             "spark.cleaner.periodicGC.interval", "5min"
