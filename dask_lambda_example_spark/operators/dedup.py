@@ -1233,6 +1233,39 @@ _FUZZY_ORACLE = f"""
     """
 
 
+def _fuzzy_blocked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy join's blocked frame ``(doc_id, title, blk, mh)`` —
+    shared by the query below and ``tools/fuzzy_zipf_tiers.py`` so the
+    growth artifact's block-size/pair counts measure EXACTLY the
+    blocking the registered query executes (df cap included), not a
+    re-derivation that could drift."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+         .alias("title"),
+        F.element_at(F.split(F.col("text"), " "), 1).alias("blk"))
+    if os.environ.get("SPARK_GRAFT_FUZZY_SHALLOW_BLOCK"):
+        return d.withColumn("mh", F.lit(0).cast("long"))
+    t = d.withColumn("ttail",
+                     F.expr("substring(title, length(blk) + 2)"))
+    g = t.select(
+        "doc_id",
+        F.explode(F.array_distinct(_fuzzy_tail_grams("ttail")))
+         .alias("gram"))
+    viral = (g.groupBy("gram").agg(F.count("*").alias("df"))
+              .filter(F.col("df") > FUZZY_GRAM_DF_CAP)
+              .select("gram"))
+    keptmin = (g.join(F.broadcast(viral), "gram", "left_anti")
+                .groupBy("doc_id")
+                .agg(F.min(hex32(F.col("gram"))).alias("mh")))
+    return (t.join(keptmin, "doc_id", "left")
+             .withColumn("mh", F.coalesce(F.col("mh"),
+                                          hex32(F.col("ttail"))))
+             .drop("ttail"))
+
+
 @query("dedup_fuzzy_title_pairs", oracle=_FUZZY_ORACLE)
 def dedup_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked FUZZY similarity join — edit-distance candidate pairs
@@ -1280,32 +1313,7 @@ def dedup_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-9 first-token-only key so the Zipf straggler can be
     timed against the composite fix; it is never the default.
     """
-    import os
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
-         .alias("title"),
-        F.element_at(F.split(F.col("text"), " "), 1).alias("blk"))
-    if os.environ.get("SPARK_GRAFT_FUZZY_SHALLOW_BLOCK"):
-        d = d.withColumn("mh", F.lit(0).cast("long"))
-    else:
-        t = d.withColumn("ttail",
-                         F.expr("substring(title, length(blk) + 2)"))
-        g = t.select(
-            "doc_id",
-            F.explode(F.array_distinct(_fuzzy_tail_grams("ttail")))
-             .alias("gram"))
-        viral = (g.groupBy("gram").agg(F.count("*").alias("df"))
-                  .filter(F.col("df") > FUZZY_GRAM_DF_CAP)
-                  .select("gram"))
-        keptmin = (g.join(F.broadcast(viral), "gram", "left_anti")
-                    .groupBy("doc_id")
-                    .agg(F.min(hex32(F.col("gram"))).alias("mh")))
-        d = (t.join(keptmin, "doc_id", "left")
-              .withColumn("mh", F.coalesce(F.col("mh"),
-                                           hex32(F.col("ttail"))))
-              .drop("ttail"))
+    d = _fuzzy_blocked_frame(spark, sf_dir)
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk"))

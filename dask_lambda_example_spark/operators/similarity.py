@@ -1216,7 +1216,7 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
        whole-stage-codegen projection: the corpus collapses from
        n × d floats to n × {PQ_M} byte-sized codes (8× compression
        at d=64/float32; PQ_BITS is the compression↔recall dial — 2
-       bits/dim doubles compression for recall@3 0.375 at sf0.1 vs
+       bits/dim doubles compression for recall@3 0.358 at sf0.1 vs
        0.596 at 3 bits, both in GROWTH_r10_pq_tiers.json) with NO
        argmin, NO join, NO shuffle.
     3. **Codebooks** (reconstruction values): per-bin mean subvectors —
