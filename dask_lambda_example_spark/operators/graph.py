@@ -66,6 +66,46 @@ def _pagerank_oracle(prelude: str = _TRADE_PR_PRELUDE) -> str:
     """
 
 
+# The trade-graph edge build runs a DISTINCT over the orders⋈lineitem
+# pair projection — |lineitem| input rows. With the default 32 shuffle
+# partitions that is a ~2M-entry string-keyed hash map per task at the
+# 100×-bench tier, and 32 of them concurrently exceeded the executor
+# aggregate-memory pool under the production-shape 16 g heap (measured:
+# AGGREGATE_OUT_OF_MEMORY at sf10 — the round-9 90 g heap had masked
+# it). Above this input bound the build repartitions on the pair key
+# FIRST, sized so each post-exchange partition's dedup map holds
+# ~EDGE_BUILD_ROWS_PER_PART rows: the aggregate's required distribution
+# is then already satisfied, so the whole dedup runs as small
+# per-partition maps and no task ever builds a giant one. Below the
+# bound the plan is unchanged (map-side partial dedup stays worthwhile
+# when the map fits). This is SCALE.md's partition-width rule (width ∝
+# state rows) applied at plan-build time from footer metadata.
+EDGE_BUILD_REPART_MIN_ROWS = 8_000_000
+EDGE_BUILD_ROWS_PER_PART = 500_000
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier trading pairs ``(src, dst)`` from the
+    order lines — the edge build shared by the PageRank family, with
+    the dedup aggregate's partition count scaled from parquet footer
+    row counts (no job) so its hash state fits executor memory at any
+    tier."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    )
+    n_li = parquet_rowcount(sf_dir, "lineitem")
+    if n_li > EDGE_BUILD_REPART_MIN_ROWS:
+        n_part = min(2048, n_li // EDGE_BUILD_ROWS_PER_PART)
+        pairs = pairs.repartition(n_part, "src", "dst")
+    return pairs.distinct()
+
+
 def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """The broadcast-formulation recurrence shared by every PageRank
     query: rank and degree vectors are |nodes|-sized → broadcast; each
@@ -114,14 +154,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatches between them from catalog metadata. Fixed iterations +
     REAL cast make the float fixed-point oracle-checkable
     bit-for-bit."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-        .distinct()
-    )
+    e0 = _trade_pairs(spark, sf_dir)
     # the union of the two directed halves is already distinct: e0 is
     # distinct and the 'c'/'s' prefixes make src/dst namespaces disjoint
     edges = (e0.union(e0.select(F.col("dst").alias("src"),
@@ -171,14 +204,7 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     and released — session.py pins ``spark.cleaner.periodicGC.interval``
     to 5 min so reclamation is bounded, not session-lifetime."""
     spark = spark.newSession()
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-        .distinct()
-    )
+    e0 = _trade_pairs(spark, sf_dir)
     try:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" under some AQE configurations

@@ -97,6 +97,15 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
             # fires inside a typical bench/test session — 5min keeps
             # cleanup amortized. No-op for short sessions.
             "spark.cleaner.periodicGC.interval", "5min"
+        ).config(
+            # JVM unified logging defaults to STDOUT; a gc/alloc
+            # warning (seen under allocation-heavy sf10 shapes:
+            # "Retried waiting for GCLocker too often") can therefore
+            # land AFTER bench.py's one-JSON-line output and corrupt
+            # any consumer that reads the last stdout line. Route all
+            # JVM log output to stderr; Spark's own log4j already goes
+            # there.
+            "spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr"
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
