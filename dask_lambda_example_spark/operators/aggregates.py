@@ -113,60 +113,33 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL relative standard deviation for agg_approx_sketches — shared with
+# the pytest invariant gate (tests/test_units.py::
+# test_approx_sketches_within_error_bounds), which re-earns the
+# rows-only status every run by checking the estimates against exact
+# aggregations of the same input.
+SKETCH_RSD = 0.05
+
+
 @query("agg_approx_sketches")  # approx algorithms differ per engine → rows-only
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dask ``nunique_approx`` (HLL) / t-digest quantile → Spark HLL++
     and GK sketches. Mergeable fixed-size state: the 100 TB answer to
     distinct-count and quantile. Oracle omitted (sketch impls differ
-    per engine) — but the query is INVARIANT-GATED, not merely
-    rows-only: one extra aggregation computes the exact distinct count
-    and exact p45/p55 percentiles per group, and the body asserts the
-    HLL estimate lands within ±3·rsd of exact and the approx median
-    inside the exact (p45, p55) band. The gate collect is bounded at
-    |l_returnflag| = 3 rows — verification control flow, not data
-    movement.
-    """
-    rsd = 0.05
-    # Three separate aggregation jobs scan lineitem (see below) and the
-    # caller consumes the result afterwards — persist the two needed
-    # columns once instead of four scans (verification-query economics;
-    # the production sketch agg is the single `approx` job alone).
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_partkey", "l_extendedprice").persist()
-    try:
-        result = li.groupBy("l_returnflag").agg(
-            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5)
-             .alias("approx_median_price"),
-        )
-        # The gate runs as SEPARATE aggregations on purpose: mixing
-        # countDistinct with TypedImperative aggregates (percentile, HLL)
-        # makes Catalyst's distinct-rewrite group by (l_returnflag,
-        # l_partkey) first, keeping a full percentile/HLL object state per
-        # PAIR (|parts| states, merged row-wise — measured 40x slower).
-        # Alone, countDistinct compiles to a two-phase codegen hash agg and
-        # the exact percentiles keep one state per flag.
-        exact = {r["l_returnflag"]: r["_exact_parts"]
-                 for r in li.groupBy("l_returnflag").agg(
-                     F.countDistinct("l_partkey").alias("_exact_parts"))
-                 .collect()}
-        bands = {r["l_returnflag"]: (r["_p45"], r["_p55"])
-                 for r in li.groupBy("l_returnflag").agg(
-                     F.percentile("l_extendedprice", 0.45).alias("_p45"),
-                     F.percentile("l_extendedprice", 0.55).alias("_p55"))
-                 .collect()}
-        rows = result.collect()
-        for r in rows:
-            flag = r["l_returnflag"]
-            assert abs(r["approx_parts"] - exact[flag]) <= max(
-                3 * rsd * exact[flag], 3), (r, exact[flag])
-            p45, p55 = bands[flag]
-            assert p45 <= r["approx_median_price"] <= p55, (r, bands[flag])
-    finally:
-        li.unpersist()
-    # the gate already materialized the (3-row) result — hand it back as
-    # a local relation so the caller's collect doesn't re-run the agg
-    return spark.createDataFrame(rows, result.schema)
+    per engine); the ±3·rsd / exact-percentile-band invariant gate that
+    re-earns the rows-only status lives in pytest
+    (``test_approx_sketches_within_error_bounds``) rather than in the
+    query body, so the registered query answers ONLY the user question
+    and its bench row prices the sketch, not the verification
+    (VERDICT r10 item 6 — the in-body gate was the most expensive
+    "query" not answering a user question)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", SKETCH_RSD)
+         .alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5)
+         .alias("approx_median_price"),
+    )
 
 
 @query(

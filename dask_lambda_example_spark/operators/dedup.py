@@ -1344,8 +1344,12 @@ def canonical_url(url):
     crawl extensions):
 
     - scheme and host case-fold (``HTTPS://WWW.Host`` → ``https://``);
-    - a leading ``www.`` label and an explicit default port drop
-      (``parse_url(HOST)`` already excludes the port);
+    - a leading ``www.`` label drops;
+    - an explicit DEFAULT port drops (``:443`` under https, ``:80``
+      under http) — any other explicit port is resource identity and
+      is kept (``https://h.io:8080/x`` ≠ ``https://h.io/x``; ADVICE
+      r10 — ``parse_url(HOST)`` excludes every port, so the
+      non-default one is re-appended from ``AUTHORITY``);
     - the fragment drops (never sent to the server);
     - tracking parameters (``utm_*``, ``fbclid``, ``gclid``) drop, the
       surviving query parameters sort (parameter order is not
@@ -1357,6 +1361,13 @@ def canonical_url(url):
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     host = F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))),
                             r"^www\.", "")
+    port = F.regexp_extract(
+        F.parse_url(url, F.lit("AUTHORITY")), r":(\d+)$", 1)
+    is_default_port = (
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80")))
+    port_part = F.when((port != "") & ~is_default_port,
+                       F.concat(F.lit(":"), port)).otherwise(F.lit(""))
     path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
     q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.array_join(
@@ -1364,7 +1375,7 @@ def canonical_url(url):
             F.split(q, "&"),
             lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE))), "&")
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), host, port_part, path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")))
 
 
@@ -1378,7 +1389,9 @@ def canonical_url(url):
 # of the canonicalization rules.
 _URL_CANON_ORACLE = """
     WITH g AS (SELECT doc_id, doc_id // 2 AS k FROM documents)
-    SELECT 'https://host' || (k % 97) || '.example.com/doc/' || k
+    SELECT 'https://host' || (k % 97) || '.example.com'
+           || CASE WHEN k % 17 = 5 THEN ':8080' ELSE '' END
+           || '/doc/' || k
            || '?id=' || k
            || CASE WHEN k % 3 = 0 THEN '&lang=en' ELSE '' END
                AS canonical_url,
@@ -1399,14 +1412,18 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus has no URL column, so the query synthesizes the
     raw fetch URLs deterministically from (doc_id, k=doc_id//2) with
     exactly the variant noise real crawl frontiers carry — scheme/host
-    case, a ``www.`` label, an explicit ``:443``, a trailing slash,
-    tracking parameters in varying positions, parameter order, a
-    fragment — such that the two members of each k-pair are DIFFERENT
-    raw strings naming the SAME resource. ``canonical_url`` (the real,
-    input-agnostic normalizer above) must therefore collapse the corpus
-    2→1; the oracle states each group's canonical form analytically, so
-    any rule misfiring (a surviving tracking param, an unsorted query,
-    an unstripped port) breaks the hash match.
+    case, a ``www.`` label, an explicit default ``:443``, a NON-default
+    ``:8080`` on whole k-groups (both members carry it: a non-default
+    port is resource identity and must SURVIVE canonicalization, so the
+    oracle catches both a port-dropper and a port-keeper bug — ADVICE
+    r10), a trailing slash, tracking parameters in varying positions,
+    parameter order, a fragment — such that the two members of each
+    k-pair are DIFFERENT raw strings naming the SAME resource.
+    ``canonical_url`` (the real, input-agnostic normalizer above) must
+    therefore collapse the corpus 2→1; the oracle states each group's
+    canonical form analytically, so any rule misfiring (a surviving
+    tracking param, an unsorted query, a mis-dropped port) breaks the
+    hash match.
 
     Scale posture: projection + ONE hash shuffle on the canonical
     string — the same shape as ``dedup_exact`` with the content hash
@@ -1421,7 +1438,11 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("://"),
         F.when(d % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.when(d % 5 == 0, F.upper(host_core)).otherwise(host_core),
-        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        # port noise: whole k-groups (k%17=5) fetch from a non-default
+        # :8080 that canonicalization must KEEP; otherwise scattered
+        # members carry an explicit default :443 that must DROP
+        F.when(k % 17 == 5, F.lit(":8080"))
+         .when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/doc/"), k.cast("string"),
         F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 2 == 0,

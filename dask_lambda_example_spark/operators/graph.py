@@ -135,6 +135,39 @@ def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         "node", F.round("rank", 6).cast("float").alias("rank"))
 
 
+def _pr_shuffled_loop(nodes: DataFrame, edges: DataFrame,
+                      deg: DataFrame) -> DataFrame:
+    """The co-partitioned (nothing-broadcast) recurrence shared by the
+    trade- and crawl-graph families: every per-iteration join is a
+    sort-free ShuffledHashJoin (``shuffle_hash`` hints — SMJ would
+    re-sort the static edge list every round and auto-broadcast would
+    re-create the broadcast sibling's plan at test scale). The caller
+    owns edge materialization (``repartition(n, "src")`` +
+    ``localCheckpoint`` so the LogicalRDD advertises its partitioning
+    and no iteration re-shuffles the edges) and the ``nodes(node)`` /
+    ``edges(src, dst)`` / ``deg(src, outdeg)`` column contract."""
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.hint("shuffle_hash"),
+                       edges.src == F.col("node"))
+            .join(deg.hint("shuffle_hash"), "src")
+            .select(F.col("dst"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib.hint("shuffle_hash"),
+                       nodes.node == contrib.dst, "left")
+            .select("node",
+                    (0.15 + PR_DAMP * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                    .alias("rank"))
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).cast("float").alias("rank"))
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, {n} fixed iterations) on the bipartite
@@ -228,26 +261,7 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both derive from the already-src-partitioned edges → no exchange
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(ranks.hint("shuffle_hash"),
-                       edges.src == F.col("node"))
-            .join(deg.hint("shuffle_hash"), "src")
-            .select(F.col("dst"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib.hint("shuffle_hash"),
-                       nodes.node == contrib.dst, "left")
-            .select("node",
-                    (0.15 + PR_DAMP * F.coalesce(F.col("in_sum"), F.lit(0.0)))
-                    .alias("rank"))
-        )
-    return ranks.select(
-        "node", F.round("rank", 6).cast("float").alias("rank"))
+    return _pr_shuffled_loop(nodes, edges, deg)
 
 
 # Above this many nodes the rank/degree vectors stop being broadcast
@@ -255,21 +269,45 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the co-partitioned shuffle plan takes over. Tunable per cluster.
 PR_BROADCAST_MAX_NODES = 100_000_000
 
+# Edge-volume term of the dispatch (VERDICT r10 item 1): the node bound
+# alone is the wrong signal when the EDGE list stresses the heap — the
+# broadcast formulation re-derives each iteration's rank vector by
+# re-executing the prior iterations' broadcast builds over the full
+# edge list inside one driver-resident job, and under the
+# production-shape 16 g heap the sf10 trade graph (120 M symmetrized
+# edge-row bound) walls >10 min there while the co-partitioned plan
+# (whose per-iteration joins stream the checkpointed edges through
+# fixed-size shuffled-hash maps) stays at minutes-scale. Measured flip
+# window on the 16 g heap: 12 M edge-row bound (sf1) healthy broadcast,
+# 120 M (sf10) walls — the threshold sits 2× above the measured-good
+# point, 5× under the measured wall, i.e. it flips EARLY toward the
+# scale-safe plan. Scales with executor memory; tunable per cluster.
+PR_BROADCAST_MAX_EDGE_ROWS = 24_000_000
+
 
 def pagerank_auto(spark: SparkSession, sf_dir: str,
-                  max_broadcast_nodes: int = PR_BROADCAST_MAX_NODES
+                  max_broadcast_nodes: int = PR_BROADCAST_MAX_NODES,
+                  max_broadcast_edge_rows: int = PR_BROADCAST_MAX_EDGE_ROWS,
                   ) -> DataFrame:
-    """Size-dispatched PageRank: broadcast formulation while the node
-    set is safely broadcastable, co-partitioned shuffle formulation
-    above the threshold. The node-count BOUND (|customer| + |supplier| ≥
-    |nodes|, since nodes are prefixed custkeys/suppkeys) comes from
-    parquet footer metadata — a driver-local stat read, no Spark job at
-    plan-construction time (ADVICE r4)."""
+    """Size-dispatched PageRank: broadcast formulation while BOTH the
+    node set is safely broadcastable AND the edge volume fits the
+    broadcast plan's heap posture; co-partitioned shuffle formulation
+    above either threshold. Both bounds come from parquet footer
+    metadata — driver-local stat reads, no Spark job at
+    plan-construction time (ADVICE r4):
+
+    - nodes: |customer| + |supplier| ≥ |nodes| (nodes are prefixed
+      custkeys/suppkeys);
+    - edges: 2·|lineitem| ≥ |symmetrized distinct trading pairs| (each
+      order line contributes at most one directed pair; |lineitem| is
+      exactly the orders⋈lineitem join's output row bound since
+      l_orderkey is a foreign key)."""
     from dask_lambda_example_spark.io import parquet_rowcount
 
     n_bound = (parquet_rowcount(sf_dir, "customer")
                + parquet_rowcount(sf_dir, "supplier"))
-    if n_bound <= max_broadcast_nodes:
+    e_bound = 2 * parquet_rowcount(sf_dir, "lineitem")
+    if n_bound <= max_broadcast_nodes and e_bound <= max_broadcast_edge_rows:
         return graph_pagerank(spark, sf_dir)
     return graph_pagerank_copartitioned(spark, sf_dir)
 
@@ -369,6 +407,25 @@ _CRAWL_PR_PRELUDE = """
     nodes AS (SELECT doc_id AS node FROM documents)"""
 
 
+def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIRECTED crawl link graph's edge list (lazy — caller owns
+    materialization/partitioning): WARC bytes → streaming HTML anchor
+    census (the registered ``text_html_outlinks``) → document namespace
+    filter + target parse → semi-join closure over the crawled corpus
+    (a target that was never fetched has no page to rank)."""
+    from dask_lambda_example_spark.sources.warc import text_html_outlinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    links = text_html_outlinks(spark, sf_dir)
+    return (
+        links.filter(F.col("href").startswith("/doc/"))
+        .select(F.col("doc_id").alias("src"),
+                F.substring_index(F.col("href"), "/", -1)
+                 .cast("long").alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+    )
+
+
 @query("graph_crawl_pagerank", oracle=_pagerank_oracle(_CRAWL_PR_PRELUDE))
 def graph_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the EXTRACTED crawl link graph — the composition
@@ -388,20 +445,89 @@ def graph_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the loop (PR_ITERS scans of a checkpointed long-pair list,
     never PR_ITERS re-parses of the archive bytes). Per iteration the
     broadcast formulation ships the |docs|-sized rank vector; on a
-    billion-page graph flip to the co-partitioned recurrence exactly as
-    ``pagerank_auto`` does for the trade graph — the loop is shared
-    (``_pr_broadcast_loop``), only the edge construction differs."""
-    from dask_lambda_example_spark.sources.warc import text_html_outlinks
-
+    billion-page graph ``crawl_pagerank_auto`` flips to the
+    co-partitioned recurrence exactly as ``pagerank_auto`` does for the
+    trade graph — the loops are shared (``_pr_broadcast_loop`` /
+    ``_pr_shuffled_loop``), only the edge construction differs."""
     docs = load_table(spark, sf_dir, "documents")
-    links = text_html_outlinks(spark, sf_dir)
-    edges = (
-        links.filter(F.col("href").startswith("/doc/"))
-        .select(F.col("doc_id").alias("src"),
-                F.substring_index(F.col("href"), "/", -1)
-                 .cast("long").alias("dst"))
-        .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
-        .localCheckpoint(eager=True)
-    )
+    edges = _crawl_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = docs.select(F.col("doc_id").alias("node"))
     return _pr_broadcast_loop(nodes, edges)
+
+
+@query("graph_crawl_pagerank_copartitioned",
+       oracle=_pagerank_oracle(_CRAWL_PR_PRELUDE))
+def graph_crawl_pagerank_copartitioned(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Crawl-graph PageRank, co-partitioned formulation — identical
+    recurrence (and oracle) to ``graph_crawl_pagerank``, billion-page
+    physical plan: NOTHING is broadcast. Same discipline as
+    ``graph_pagerank_copartitioned`` (see its docstring for the AQE /
+    checkpoint-partitioning mechanics): the parsed edge list is
+    hash-partitioned by ``src`` ONCE as it materializes (still exactly
+    one HTML parse), the degree vector derives from the checkpointed
+    edges so it is born co-partitioned, and every iteration join is a
+    sort-free ShuffledHashJoin via the shared ``_pr_shuffled_loop``.
+
+    One difference from the trade graph: the crawl graph is DIRECTED,
+    so the node set is the document corpus (a page with no inlinks
+    still holds the damping floor), not the edge sources — the rank
+    vector therefore shuffles once per iteration onto the edge
+    partitioning instead of deriving partitioned. Per-iteration network
+    cost stays O(|nodes|) rank rows + the contribution shuffle, never
+    O(|edges|), never a broadcast."""
+    spark = spark.newSession()
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_part = spark.sparkContext.defaultParallelism
+    e0 = _crawl_edges(spark, sf_dir)
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (e0.repartition(n_part, "src")
+                 .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (load_table(spark, sf_dir, "documents")
+             .select(F.col("doc_id").alias("node")))
+    return _pr_shuffled_loop(nodes, edges, deg)
+
+
+# The crawl pages carry at most 3 in-content anchors each by
+# construction (sources/warc.py make_html_page); a general crawl would
+# plug its per-page anchor census bound (or a catalog stat) in here.
+CRAWL_LINKS_PER_PAGE_BOUND = 3
+
+
+def crawl_pagerank_auto(spark: SparkSession, sf_dir: str,
+                        max_broadcast_nodes: int = PR_BROADCAST_MAX_NODES,
+                        max_broadcast_edge_rows: int =
+                        PR_BROADCAST_MAX_EDGE_ROWS,
+                        ) -> DataFrame:
+    """Size-dispatched crawl PageRank (VERDICT r10 item 5: the crawl
+    graph gets the same footer-dispatched flip the trade graph has).
+    Node bound: |documents| exactly. Edge bound:
+    ``CRAWL_LINKS_PER_PAGE_BOUND``·|documents| ≥ |edges| (closure can
+    only shrink it). Both are driver-local footer stats — no job at
+    plan-construction time."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    n_bound = parquet_rowcount(sf_dir, "documents")
+    e_bound = CRAWL_LINKS_PER_PAGE_BOUND * n_bound
+    if n_bound <= max_broadcast_nodes and e_bound <= max_broadcast_edge_rows:
+        return graph_crawl_pagerank(spark, sf_dir)
+    return graph_crawl_pagerank_copartitioned(spark, sf_dir)
+
+
+@query("graph_crawl_pagerank_auto", oracle=_pagerank_oracle(_CRAWL_PR_PRELUDE))
+def graph_crawl_pagerank_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry point for ``crawl_pagerank_auto`` — the crawl
+    graph's dispatcher as a named, oracle-gated query. Both
+    formulations share the identical unrolled recurrence and oracle, so
+    the flip can only change plans, never answers; the plan assert
+    ``tests/test_plans.py::test_crawl_pagerank_auto_dispatch`` pins the
+    broadcast shape below the thresholds and the nothing-broadcast
+    shuffled-hash shape above them (on either axis)."""
+    return crawl_pagerank_auto(spark, sf_dir)

@@ -981,6 +981,17 @@ PQ_DSUB = 64 // PQ_M
 # asserted: the oracle SQL is built from the same constant at import,
 # so a dialed run stays oracle-gated (GROWTH_r10_pq_tiers.json).
 PQ_BITS = int(os.environ.get("SPARK_GRAFT_PQ_BITS", "3"))
+# The ADC distance-table broadcast carries PQ_M · PQ_K = PQ_M ·
+# (2^bits)^PQ_DSUB slots PER PROBE — exponential in the dial (at dim 64
+# / M=32 / dsub=2: 3 bits → 2 k slots/probe and the sf1 probe set's
+# table is ~10 MB; 6 bits → 131 k slots/probe, ~GB-scale per probe set,
+# hopeless under the 16 g production heap). Bound the dial to the range
+# whose broadcast stays executor material (ADVICE r10); the measured
+# recall curve across this range is in SCALE.md.
+assert 2 <= PQ_BITS <= 5, (
+    f"SPARK_GRAFT_PQ_BITS={PQ_BITS} outside supported range [2, 5]: "
+    "the ADC table broadcast is PQ_M*(2^bits)^PQ_DSUB slots per probe "
+    "and stops being broadcast material above 5 bits")
 PQ_LEVELS = 1 << PQ_BITS
 PQ_K = PQ_LEVELS ** PQ_DSUB   # codes per subspace (64 at 3 bits × 2 dims)
 PQ_STRIDE = PQ_K  # (m, code) slot packing stride: slot = m·stride + code

@@ -59,14 +59,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. The cumulative union of CORRECTNESS_r01-r09 covers ALL
-# oracle-gated queries green with zero never-verified names (r09: 44
+# round. The cumulative union of CORRECTNESS_r01-r10 covers ALL
+# oracle-gated queries green with zero never-verified names (r10: 44
 # full green + 6 rows-only re-earns, zero fails) — the backlog is ZERO.
-# The round-10 curated head: the six rows-only queries (no oracle → the
+# The round-11 curated head: the six rows-only queries (no oracle → the
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
-# verified — ADVICE r3), the round-10 additions, and the REVERIFY
-# names rewritten after their green rows: 18 names, leaving ~32
+# verified — ADVICE r3), the round-11 additions, and the REVERIFY
+# names rewritten after their green rows: 12 names, leaving ~38
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
@@ -76,36 +76,25 @@ PRIORITY_QUERIES = (
     # the permanent re-earn set in r7 (iterative argmax is not
     # SQL-expressible; train is pytest-exact vs a pure-Python reference,
     # encode carries a worker-side rank-replay exact gate).
+    # agg_approx_sketches' invariant gate moved from the query body to
+    # pytest (test_approx_sketches_within_error_bounds) in r11 —
+    # VERDICT r10 item 6; the rows-only re-earn is unchanged.
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
-    # round-10 new: the PageRank dispatcher as a registered name
-    # (VERDICT r9 item 1 — the last dual-formulation family whose auto
-    # name had no CORRECTNESS row), unrolled-recurrence oracle
-    "graph_pagerank_auto",
-    # round-10 new: HTML main-text extraction over WARC payloads
-    # (boilerplate gate + entity decode + link census, analytic oracle),
-    # the crawl-side funnel consuming it (VERDICT r9 item 3), and the
-    # outlink edge extraction + link-graph in-degree composition
-    "text_html_extract", "pipeline_crawl_funnel",
-    "text_html_outlinks", "graph_crawl_indegree",
-    # round-10 new: PageRank over the EXTRACTED crawl link graph (WARC →
-    # anchor census → corpus closure → the shared recurrence; analytic
-    # ⊕-neighbor oracle checks extraction→iteration end-to-end) and
-    # URL-canonicalization dedup (crawl step 1: real parse_url/HOF
-    # normalizer over synthesized raw-variant URLs, analytic oracle)
-    "graph_crawl_pagerank", "dedup_url_canonical",
-    # round-10 REVERIFY: the PQ family's codebooks were rewritten to
-    # production shape (3-bit fixed-width lattice per dimension, 64
-    # codes/subspace — VERDICT r9 item 4; recall@3 0.15 → 0.70), and
-    # the IVF-PQ coarse stage became its own centroid pipeline
-    "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
-    # round-10 REVERIFY: the fuzzy join's blocking key deepened to
-    # (first token, df-capped tail min-gram) — Zipf-proofing with a
-    # provable max-block bound (VERDICT r9 item 2)
-    "dedup_fuzzy_title_pairs",
-    # round-10 REVERIFY: the theta dispatcher's Arrow estimate now
-    # counts null-size rows on the full side (ADVICE r9)
-    "join_theta_auto",
+    # round-11 new: the crawl graph's PageRank dispatcher and its
+    # co-partitioned (nothing-broadcast) twin (VERDICT r10 item 5 —
+    # graph_crawl_pagerank was the only PageRank entry point without
+    # the registered flip); same unrolled-recurrence oracle as the
+    # broadcast sibling, so the dispatch can change plans, not answers
+    "graph_crawl_pagerank_auto", "graph_crawl_pagerank_copartitioned",
+    # round-11 REVERIFY: the trade dispatcher gained the edge-volume
+    # axis (VERDICT r10 item 1), the crawl broadcast query's edge build
+    # moved into the shared _crawl_edges helper, the copartitioned
+    # recurrence into the shared _pr_shuffled_loop, and the URL
+    # canonicalizer learned to KEEP non-default ports (ADVICE r10
+    # medium) with the synth corpus + oracle extended to cover :8080
+    "graph_pagerank_auto", "graph_crawl_pagerank",
+    "graph_pagerank_copartitioned", "dedup_url_canonical",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -123,20 +112,24 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r10: the PQ family (lattice codebooks + separated IVF-PQ coarse
-# stage), the fuzzy join (df-capped composite blocking key), and the
-# theta dispatcher (null-inclusive full-side count, ADVICE r9) were all
-# rewritten after their r9 green rows; every one re-ran strict-parity
-# clean locally (PARITY_r10), the driver rows re-attest them.
+# r11: the trade PageRank dispatcher gained the edge-volume axis
+# (VERDICT r10 item 1), the crawl PageRank's edge build and the
+# copartitioned recurrence were refactored into shared helpers
+# (_crawl_edges / _pr_shuffled_loop — plans unchanged, plan-asserted),
+# and the URL canonicalizer's port rule changed (ADVICE r10 medium:
+# non-default ports now SURVIVE; the synth corpus and oracle cover
+# :8080). All re-ran strict-parity clean locally (PARITY_r11); the
+# driver rows re-attest them.
 REVERIFY: tuple[str, ...] = (
-    "sim_pq_adc_search", "sim_pq_recall_report", "sim_ivfpq_search",
-    "dedup_fuzzy_title_pairs", "join_theta_auto",
+    "graph_pagerank_auto", "graph_crawl_pagerank",
+    "graph_pagerank_copartitioned", "dedup_url_canonical",
 )
 
 

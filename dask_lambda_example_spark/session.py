@@ -104,8 +104,13 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
             # land AFTER bench.py's one-JSON-line output and corrupt
             # any consumer that reads the last stdout line. Route all
             # JVM log output to stderr; Spark's own log4j already goes
-            # there.
-            "spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr"
+            # there. Prepended (not assigned) so user-supplied driver
+            # JVM options via SPARK_GRAFT_DRIVER_JAVA_OPTS survive —
+            # same override pattern as SPARK_GRAFT_DRIVER_MEM
+            # (ADVICE r10).
+            "spark.driver.extraJavaOptions",
+            ("-Xlog:all=warning:stderr "
+             + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip()
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,181 @@
+"""Paired A/B cross-round benchmark (VERDICT r10 item 4): time the
+same registered queries under TWO checkouts of this repo — the current
+working tree vs a baseline git rev — interleaved A,B,B,A per query in
+one sitting, so round-over-round comparisons rest on measured pairs
+instead of host-weather footnotes. Each side is a long-lived worker
+subprocess owning its own Spark local JVM; the driver serializes the
+timed runs (never two queries at once) and alternates sides, so a load
+spike hits both sides of a pair or neither.
+
+Usage:
+  python tools/ab_bench.py --baseline <git-rev> [--sf-dir DIR]
+      [--queries a,b,c | --worst N] [--reps 2] [--out FILE]
+
+--worst N (default 20) picks the N worst current/baseline ratio names
+from the committed BENCH_sf0.1_noop_r10.json vs _r9.json common window.
+Output: one JSON object (BENCH_ab artifact) with per-query wall lists
+for both sides, best-of ratios, and the interleave order.
+(CPU-exclusive — timed; run alone like bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_WORKER_SRC = '''
+import json, os, sys, time
+repo, sf_dir = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+from dask_lambda_example_spark.registry import spark_queries
+from dask_lambda_example_spark.session import get_spark
+spark = get_spark("ab-bench")
+qs = spark_queries()
+# warm the JVM + parquet footer caches off the clock
+qs["flagship_groupby_mean_std"](spark, sf_dir).write.format("noop") \\
+    .mode("overwrite").save()
+print(json.dumps({"ready": True, "n_queries": len(qs)}), flush=True)
+for line in sys.stdin:
+    name = line.strip()
+    if not name:
+        continue
+    if name == "EXIT":
+        break
+    if name not in qs:
+        print(json.dumps({"name": name, "error": "unregistered"}),
+              flush=True)
+        continue
+    t0 = time.time()
+    try:
+        qs[name](spark, sf_dir).write.format("noop") \\
+            .mode("overwrite").save()
+        print(json.dumps({"name": name,
+                          "wall": round(time.time() - t0, 4)}), flush=True)
+    except Exception as ex:  # noqa: BLE001 — report, keep serving
+        print(json.dumps({"name": name, "error": str(ex)[:300]}),
+              flush=True)
+'''
+
+
+def _arg(flag: str, default: str | None = None) -> str | None:
+    return (sys.argv[sys.argv.index(flag) + 1]
+            if flag in sys.argv else default)
+
+
+def _worst_common_names(n: int) -> list[str]:
+    cur = json.load(open(REPO / "BENCH_sf0.1_noop_r10.json"))["queries"]
+    base = json.load(open(REPO / "BENCH_sf0.1_noop_r9.json"))["queries"]
+    common = [k for k in cur if k in base and cur[k] > 0 and base[k] > 0]
+    common.sort(key=lambda k: cur[k] / base[k], reverse=True)
+    return common[:n]
+
+
+class _Worker:
+    def __init__(self, tag: str, repo: str, sf_dir: str,
+                 worker_py: str) -> None:
+        self.tag = tag
+        self.log = open(f"/tmp/ab_bench_{tag}.stderr", "w")
+        self.proc = subprocess.Popen(
+            [sys.executable, worker_py, repo, sf_dir],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=self.log, text=True, cwd=repo)
+        ready = json.loads(self.proc.stdout.readline())
+        assert ready.get("ready"), ready
+        self.n_queries = ready["n_queries"]
+
+    def run(self, name: str) -> dict:
+        self.proc.stdin.write(name + "\n")
+        self.proc.stdin.flush()
+        return json.loads(self.proc.stdout.readline())
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:  # noqa: BLE001
+            self.proc.kill()
+        self.log.close()
+
+
+def main() -> int:
+    baseline = _arg("--baseline")
+    assert baseline, "--baseline <git-rev> is required"
+    sf_dir = _arg("--sf-dir", "/root/testdata/sf0.1")
+    reps = int(_arg("--reps", "2"))
+    out = _arg("--out")
+    names_arg = _arg("--queries")
+    names = (names_arg.split(",") if names_arg
+             else _worst_common_names(int(_arg("--worst", "20"))))
+
+    rev = subprocess.run(
+        ["git", "-C", str(REPO), "rev-parse", "--short", baseline],
+        capture_output=True, text=True, check=True).stdout.strip()
+    base_dir = f"/tmp/ab_baseline_{rev}"
+    if not os.path.isdir(base_dir):
+        subprocess.run(["git", "-C", str(REPO), "worktree", "add",
+                        "--detach", base_dir, baseline], check=True)
+
+    worker_py = tempfile.NamedTemporaryFile(
+        "w", suffix="_ab_worker.py", delete=False)
+    worker_py.write(_WORKER_SRC)
+    worker_py.close()
+
+    a = _Worker("current", str(REPO), sf_dir, worker_py.name)
+    b = _Worker("baseline", base_dir, sf_dir, worker_py.name)
+    results: dict[str, dict] = {}
+    try:
+        for name in names:
+            walls: dict[str, list] = {"current": [], "baseline": []}
+            errors: list[str] = []
+            # A,B,B,A per rep-pair: any monotone host drift cancels
+            order = [a, b] if len(results) % 2 == 0 else [b, a]
+            for _ in range(reps):
+                for w in order:
+                    r = w.run(name)
+                    if "wall" in r:
+                        walls[w.tag].append(r["wall"])
+                    else:
+                        errors.append(f"{w.tag}: {r.get('error')}")
+                order.reverse()
+            rec: dict = {"current": walls["current"],
+                         "baseline": walls["baseline"]}
+            if walls["current"] and walls["baseline"]:
+                rec["best_ratio"] = round(
+                    min(walls["current"]) / min(walls["baseline"]), 3)
+            if errors:
+                rec["errors"] = errors
+            results[name] = rec
+            print(json.dumps({name: rec}), file=sys.stderr, flush=True)
+    finally:
+        a.close()
+        b.close()
+
+    ratios = sorted(r["best_ratio"] for r in results.values()
+                    if "best_ratio" in r)
+    doc = {
+        "audit": "ab_bench",
+        "baseline_rev": rev,
+        "sf_dir": sf_dir,
+        "reps_per_side": reps,
+        "interleave": "A,B,B,A per rep-pair, sides alternate per query",
+        "timing": "best-of per side (min over reps)",
+        "median_best_ratio": (ratios[len(ratios) // 2] if ratios else None),
+        "queries": results,
+    }
+    line = json.dumps(doc)
+    if out:
+        Path(out).write_text(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,6 +44,16 @@ def main() -> int:
 
     spark = get_spark("fuzzy-zipf-tiers")
 
+    # This tool toggles SPARK_GRAFT_FUZZY_SHALLOW_BLOCK around its
+    # shallow-key measurements; if the caller already exported it, the
+    # "composite" rows would silently measure the shallow key (a
+    # mislabeled artifact) and the finally-del would clobber the
+    # caller's setting (ADVICE r10). Refuse the ambiguous environment.
+    assert "SPARK_GRAFT_FUZZY_SHALLOW_BLOCK" not in os.environ, (
+        "unset SPARK_GRAFT_FUZZY_SHALLOW_BLOCK before running this tool: "
+        "it owns that toggle, and a pre-set value would mislabel the "
+        "composite-key measurements")
+
     def block_stats(sf_dir: str) -> dict:
         row = (D._fuzzy_blocked_frame(spark, sf_dir)
                .groupBy("blk", "mh").agg(F.count("*").alias("c"))

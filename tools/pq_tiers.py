@@ -6,8 +6,9 @@ constant, so dialed runs stay oracle-comparable). One process per
 bits setting — the constant is read at import.
 
 Usage: python tools/pq_tiers.py --tiers sf0.01=/root/testdata/sf0.01,... \
-           [--recall-only] [--json-lines]
-       (CPU-exclusive — timed; run alone like bench.py)
+           [--recall-only]
+       (output is always JSON-lines; CPU-exclusive — timed; run alone
+       like bench.py)
 """
 
 from __future__ import annotations
