@@ -235,13 +235,31 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed edge blocks are reclaimed by ContextCleaner once the
     returned DataFrame (the only plan referencing them) is collected
     and released — session.py pins ``spark.cleaner.periodicGC.interval``
-    to 5 min so reclamation is bounded, not session-lifetime."""
+    to 5 min so reclamation is bounded, not session-lifetime.
+
+    Partition-width rule (round-11, measured): the checkpoint
+    MATERIALIZES the full edge list into storage blocks, one per
+    partition, built concurrently by every core — at sf10's 120 M-row
+    edge bound over the default 32 partitions that is 32 simultaneous
+    ~3 M-row block builds, which OOM'd the 16 g production heap
+    (stage-119 ``java.lang.OutOfMemoryError`` during
+    ``localCheckpoint``). The CHILD session's shuffle width is
+    therefore scaled from the footer edge bound (~``EDGE_BUILD_ROWS_
+    PER_PART`` rows per partition, the same rule the edge-build dedup
+    uses), which sizes the checkpoint blocks AND every loop exchange
+    consistently — the plan shape (and its asserts) are unchanged,
+    only the partition count grows with the data."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
     spark = spark.newSession()
-    e0 = _trade_pairs(spark, sf_dir)
     try:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" under some AQE configurations
         n_part = spark.sparkContext.defaultParallelism
+    e_bound = 2 * parquet_rowcount(sf_dir, "lineitem")
+    n_part = max(n_part, min(2048, e_bound // EDGE_BUILD_ROWS_PER_PART))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    e0 = _trade_pairs(spark, sf_dir)
     # AQE must be OFF while the edge list materializes: with AQE on,
     # the checkpointed LogicalRDD captures UnknownPartitioning (the
     # adaptive plan's final partitioning isn't propagated — measured: 33
@@ -475,12 +493,21 @@ def graph_crawl_pagerank_copartitioned(spark: SparkSession,
     vector therefore shuffles once per iteration onto the edge
     partitioning instead of deriving partitioned. Per-iteration network
     cost stays O(|nodes|) rank rows + the contribution shuffle, never
-    O(|edges|), never a broadcast."""
+    O(|edges|), never a broadcast. The child session's shuffle width
+    scales from the footer edge bound exactly as the trade sibling's
+    does (checkpoint block size ∝ rows/partition — see
+    ``graph_pagerank_copartitioned``)."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
     spark = spark.newSession()
     try:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:
         n_part = spark.sparkContext.defaultParallelism
+    e_bound = CRAWL_LINKS_PER_PAGE_BOUND * parquet_rowcount(
+        sf_dir, "documents")
+    n_part = max(n_part, min(2048, e_bound // EDGE_BUILD_ROWS_PER_PART))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     e0 = _crawl_edges(spark, sf_dir)
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -112,6 +112,22 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
             ("-Xlog:all=warning:stderr "
              + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip()
         )
+        # The conf above only reaches the JVM when spark-submit launches
+        # it (cluster/client deployments). A PLAIN-PYTHON launch starts
+        # the gateway JVM before builder configs apply, so the -Xlog
+        # flag must ride the gateway's own launch args (round-11,
+        # measured: a gc,alloc warning still landed on stdout mid-bench
+        # under the conf-only form and corrupted a last-line consumer).
+        # No-op once a JVM is up — getOrCreate() reuses it regardless.
+        from pyspark import SparkContext
+
+        submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        if SparkContext._gateway is None and "-Xlog" not in submit_args:
+            opts = ("-Xlog:all=warning:stderr "
+                    + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                    ).strip()
+            os.environ["PYSPARK_SUBMIT_ARGS"] = (
+                f'--driver-java-options "{opts}" {submit_args}')
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
