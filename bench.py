@@ -10,6 +10,7 @@ driver uses). The session is created once and reused across all queries
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -53,8 +54,9 @@ def main() -> None:
         names = [n for n in names if n in wanted]
 
     times: dict[str, float] = {}
-    for i, name in enumerate(names):
+    for name in names:
         spec = QUERIES[name]
+        df = None
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
@@ -70,18 +72,25 @@ def main() -> None:
             print(f"BENCH FAIL {name}: {exc}", file=sys.stderr, flush=True)
         # Harness hygiene, OUTSIDE the timed region: a multi-hundred-query
         # session accumulates JVM garbage (collect buffers, finished-plan
-        # state) faster than G1 reclaims it under a 90g heap, and
+        # state) faster than G1 reclaims it under a big heap, and
         # ContextCleaner's periodic GC (30 min default) never fires inside
         # one run — so long old-gen pauses land on whichever query happens
         # to allocate next, inflating RANDOM entries 6-12× (measured at
         # sf1: fn_json_extract 56 s in-session vs 5.2 s fresh-session,
-        # identical plan). Forcing a JVM GC every 16 queries charges
-        # reclamation to the harness, not the victim query.
-        if i % 16 == 15:
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+        # identical plan). Worse under the 16 g production heap (round-11,
+        # measured): a checkpoint-heavy query's storage blocks stay
+        # resident until Python GC detaches the py4j refs AND a JVM GC
+        # lets ContextCleaner unpersist them — four consecutive
+        # 100 M-edge-row graph queries at sf10 stacked their block sets
+        # and OOM'd the SparkContext. Dropping the result ref and forcing
+        # the full GC chain EVERY query charges reclamation to the
+        # harness, not the victim query (~0.3 s/query, untimed).
+        del df
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
 

@@ -84,6 +84,24 @@ EDGE_BUILD_REPART_MIN_ROWS = 8_000_000
 EDGE_BUILD_ROWS_PER_PART = 500_000
 
 
+def _edge_ckpt_level(e_bound: int):
+    """Storage level for a materialized edge list of ``e_bound`` row
+    bound: ``None`` (Spark's memory-and-disk default) while the edges
+    are broadcast-plan material, ``DISK_ONLY`` above the dispatch
+    bound. Round-11, measured twice at sf10 under the 16 g production
+    heap: a 100 M-row edge checkpoint held as memory blocks competes
+    with the query's own unroll/shuffle memory and — standalone-green
+    notwithstanding — OOM'd the SparkContext mid-battery; disk-backed
+    blocks cost PR_ITERS sequential re-reads of a list that was going
+    to spill anyway and remove the failure mode entirely. At cluster
+    scale this is the same judgement: a multi-TB edge list is disk/
+    shuffle-tier data, never executor-storage-tier."""
+    from pyspark import StorageLevel
+
+    return (StorageLevel.DISK_ONLY
+            if e_bound > PR_BROADCAST_MAX_EDGE_ROWS else None)
+
+
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer↔supplier trading pairs ``(src, dst)`` from the
     order lines — the edge build shared by the PageRank family, with
@@ -112,10 +130,22 @@ def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     iteration's only shuffle groups contributions by destination. The
     caller owns the edge list's materialization (``localCheckpoint``)
     and its node/edge column contract (``nodes(node)``,
-    ``edges(src, dst)``)."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ``edges(src, dst)``).
+
+    The degree vector and every non-final rank vector are MATERIALIZED
+    (``localCheckpoint`` of |nodes|-sized frames — cheap) rather than
+    left lazy (round-11, measured): un-materialized, iteration i's
+    broadcast build re-executes iterations 1..i-1 inline — O(iters²)
+    scans of the edge list, with every nested broadcast relation live
+    in ONE job's heap — which walled the r10 sf10 run >10 min on a
+    90 g heap and OOM'd the SparkContext outright on the production
+    16 g heap. Materialized, each iteration is one bounded job over
+    the checkpointed edges and the broadcasts build from |nodes|-row
+    LogicalRDDs."""
+    deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+           .localCheckpoint(eager=True))
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contrib = (
             edges.join(F.broadcast(ranks),
                        edges.src == F.col("node"))
@@ -131,6 +161,8 @@ def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                     (0.15 + PR_DAMP * F.coalesce(F.col("in_sum"), F.lit(0.0)))
                     .alias("rank"))
         )
+        if i < PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node", F.round("rank", 6).cast("float").alias("rank"))
 
@@ -186,14 +218,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-partitioned by ``src`` and nothing broadcast — ``pagerank_auto``
     dispatches between them from catalog metadata. Fixed iterations +
     REAL cast make the float fixed-point oracle-checkable
-    bit-for-bit."""
+    bit-for-bit.
+
+    Materialization discipline (round-11): the edge checkpoint builds
+    with AQE off on a dedicated child session so the block width stays
+    the dedup aggregate's footer-scaled partition count (AQE would
+    coalesce sf10's ~240 partitions to ~24 × multi-hundred-MB blocks —
+    the 16 g-heap hazard class of SCALE.md's partition-width rule),
+    and the |nodes|-sized node set is checkpointed so the loop never
+    re-aggregates the full edge list to re-derive it; above the
+    dispatch edge bound the edge blocks are DISK_ONLY
+    (``_edge_ckpt_level``)."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    spark = spark.newSession()
+    e_bound = 2 * parquet_rowcount(sf_dir, "lineitem")
     e0 = _trade_pairs(spark, sf_dir)
-    # the union of the two directed halves is already distinct: e0 is
-    # distinct and the 'c'/'s' prefixes make src/dst namespaces disjoint
-    edges = (e0.union(e0.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # the union of the two directed halves is already distinct: e0
+        # is distinct and the 'c'/'s' prefixes make src/dst namespaces
+        # disjoint
+        edges = (e0.union(e0.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                 .localCheckpoint(eager=True,
+                                  storageLevel=_edge_ckpt_level(e_bound)))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
              .localCheckpoint(eager=True))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
     return _pr_broadcast_loop(nodes, edges)
 
 
@@ -273,7 +327,8 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (e0.union(e0.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
                  .repartition(n_part, "src")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=True,
+                                  storageLevel=_edge_ckpt_level(e_bound)))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     # both derive from the already-src-partitioned edges → no exchange
@@ -390,15 +445,19 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the horizon is kept small — for deeper or unbounded closure
     prefer the driver-loop shape of ``dedup_cluster_cc``, which dedups
     the frontier every round."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
-          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-          .distinct())
+    # Edge build shared with the PageRank family (round-11: this query
+    # had kept a private copy of the PRE-fix build and would have hit
+    # the same sf10/16g dedup-aggregate OOM _trade_pairs already
+    # guards); checkpoint blocks go DISK_ONLY above the dispatch edge
+    # bound like the rest of the family.
+    from dask_lambda_example_spark.io import parquet_rowcount
+
+    e_bound = 2 * parquet_rowcount(sf_dir, "lineitem")
+    e0 = _trade_pairs(spark, sf_dir)
     edges = (e0.union(e0.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
-             .localCheckpoint(eager=True))  # halves disjoint -> distinct
+             .localCheckpoint(  # halves disjoint -> distinct
+                 eager=True, storageLevel=_edge_ckpt_level(e_bound)))
     edges.createOrReplaceTempView("rcte_edges_v")
     return spark.sql(_RCTE_SQL.format(edges="rcte_edges_v"))
 
@@ -467,8 +526,13 @@ def graph_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned recurrence exactly as ``pagerank_auto`` does for the
     trade graph — the loops are shared (``_pr_broadcast_loop`` /
     ``_pr_shuffled_loop``), only the edge construction differs."""
+    from dask_lambda_example_spark.io import parquet_rowcount
+
     docs = load_table(spark, sf_dir, "documents")
-    edges = _crawl_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e_bound = CRAWL_LINKS_PER_PAGE_BOUND * parquet_rowcount(
+        sf_dir, "documents")
+    edges = _crawl_edges(spark, sf_dir).localCheckpoint(
+        eager=True, storageLevel=_edge_ckpt_level(e_bound))
     nodes = docs.select(F.col("doc_id").alias("node"))
     return _pr_broadcast_loop(nodes, edges)
 
@@ -513,7 +577,8 @@ def graph_crawl_pagerank_copartitioned(spark: SparkSession,
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         edges = (e0.repartition(n_part, "src")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=True,
+                                  storageLevel=_edge_ckpt_level(e_bound)))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
