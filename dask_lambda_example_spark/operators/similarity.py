@@ -1162,11 +1162,13 @@ def _pq_adc_fold():
     return out
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(topk: int = PQ_TOPK) -> str:
     """Full-pipeline replication (the IVF-oracle discipline):
     thresholds, sign-bit encoding, bin-mean codebooks, distance tables
     and the ADC sum are all recomputed in DuckDB — approximation error
-    vs exact search is part of the checked contract, not hand-waved."""
+    vs exact search is part of the checked contract, not hand-waved.
+    ``topk`` widens the cut for the re-rank shortlist
+    (``sim_pq_rerank_search`` nests this at ``PQ_RERANK``)."""
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
@@ -1205,7 +1207,7 @@ def _pq_adc_oracle() -> str:
         SELECT query_id, neighbor_id, ad2,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY ad2, neighbor_id) AS rank
-        FROM adc) WHERE rank <= {PQ_TOPK}
+        FROM adc) WHERE rank <= {topk}
     """
 
 
@@ -1252,6 +1254,16 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (PQ's native space); for cosine, L2-normalize upstream.
     The oracle replicates thresholds → bits → bin means → tables →
     fold end to end."""
+    adc = _pq_adc_ranked(spark, sf_dir)
+    return (adc.filter(F.col("rank") <= PQ_TOPK)
+               .select("query_id", "neighbor_id",
+                       F.round("ad2", 6).alias("adist2"), "rank"))
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, ad2, rank): the full ADC ranking per
+    probe, shared by the top-k cut (``sim_pq_adc_search``) and the
+    wider re-rank shortlist cut (``sim_pq_rerank_search``)."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     grid = _pq_grid(e)
@@ -1281,14 +1293,171 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _pq_adc_fold().alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
-    return (adc.withColumn("rank", F.row_number().over(wrank))
-               .filter(F.col("rank") <= PQ_TOPK)
-               .select("query_id", "neighbor_id",
-                       F.round("ad2", 6).alias("adist2"), "rank"))
+    return adc.withColumn("rank", F.row_number().over(wrank))
 
 
 sim_pq_adc_search.__doc__ = sim_pq_adc_search.__doc__.format(
     PQ_BITS=PQ_BITS, PQ_K=PQ_K, PQ_M=PQ_M, PQ_TOPK=PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# PQ shortlist → exact re-rank (the refine stage every production
+# IVF-PQ serving stack runs: FAISS's refine/RFlat wrapper — ADC picks a
+# shortlist from the compressed codes, then the shortlist's FULL-
+# precision vectors are fetched and exactly re-scored, so the answer
+# quality is bounded by shortlist membership, not by quantization
+# error on the final ordering).
+# ---------------------------------------------------------------------------
+
+# ADC shortlist width refined with exact distances. Recall@k of the
+# re-ranked result equals P(true top-k ∈ shortlist): any true top-k
+# member in the shortlist survives the exact re-sort (only genuinely
+# nearer vectors can outrank it, and there are < k of those). The
+# refine stage reads PQ_RERANK/n of the full-precision corpus per
+# probe — the bytes PQ saved stay saved except for the shortlist.
+PQ_RERANK = 20
+
+
+def _pq_rerank_d2_sql(q: str, c: str) -> str:
+    # exact ‖q−c‖² grouped as qq − 2qc + cc, the SAME float evaluation
+    # order as the Spark side's dot() fold (the sim_pq_recall_report
+    # discipline) — value-hash parity depends on it.
+    return (f"list_dot_product({q}, {q}) - 2 * list_dot_product({q}, {c})"
+            f" + list_dot_product({c}, {c})")
+
+
+def _pq_rerank_oracle() -> str:
+    d2 = _pq_rerank_d2_sql("q.emb", "c.emb")
+    return f"""
+    WITH shortlist AS ({_pq_adc_oracle(PQ_RERANK)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings)
+    SELECT query_id, neighbor_id, round(d2, 6) AS dist2, rank FROM (
+        SELECT s.query_id, s.neighbor_id, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {d2}, s.neighbor_id) AS rank
+        FROM shortlist s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+@query("sim_pq_rerank_search", oracle=_pq_rerank_oracle())
+def sim_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist → exact re-rank (the FAISS ``refine`` stage).
+
+    The ADC ranking (``_pq_adc_ranked`` — identical plan to
+    ``sim_pq_adc_search``) is cut at ``PQ_RERANK`` instead of top-k;
+    the |probes| × {PQ_RERANK} shortlist then fetches full-precision
+    vectors with ONE broadcast-hash join against the corpus (the
+    shortlist side is tiny and broadcasts; the corpus is scanned once,
+    never shuffled) and re-scores exactly: ‖q−c‖² = qq − 2qc + cc with
+    the in-order dot() fold, then a bounded window takes the final
+    top-{PQ_TOPK}.
+
+    Scale: this is the standard accuracy-recovery dial at 100 TB —
+    compressed codes prune n → shortlist, and the refine stage reads
+    only |probes| × {PQ_RERANK} full vectors (point lookups in a real
+    serving store; here one broadcast join). Measured effect at the
+    3-bit lattice: mean recall@3 rises from the raw-ADC 0.46 at sf1 to
+    the re-ranked value in ``sim_pq_rerank_recall`` /
+    GROWTH_r11_pq_rerank.json, because re-ranking converts "top-k
+    somewhere in the shortlist" into "top-k in order". The oracle
+    nests the full ADC pipeline at the shortlist width and replicates
+    the exact re-score."""
+    sl = (_pq_adc_ranked(spark, sf_dir)
+          .filter(F.col("rank") <= PQ_RERANK)
+          .select("query_id", "neighbor_id"))
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    q = (e.filter(_probe_filter())
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("emb").alias("qemb"),
+                  dot(F.col("emb"), F.col("emb")).alias("qq")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("cemb"),
+                 dot(F.col("emb"), F.col("emb")).alias("cc"))
+    d2 = (F.col("qq") - 2 * dot(F.col("qemb"), F.col("cemb"))
+          + F.col("cc"))
+    wrank = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (F.broadcast(sl.join(F.broadcast(q), "query_id"))
+            .join(c, "neighbor_id")
+            .select("query_id", "neighbor_id", d2.alias("d2"))
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= PQ_TOPK)
+            .select("query_id", "neighbor_id",
+                    F.round("d2", 6).alias("dist2"), "rank"))
+
+
+sim_pq_rerank_search.__doc__ = sim_pq_rerank_search.__doc__.format(
+    PQ_RERANK=PQ_RERANK, PQ_TOPK=PQ_TOPK)
+
+
+def _pq_rerank_recall_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES
+
+    rr = QUERIES["sim_pq_rerank_search"].oracle
+    d2 = _pq_rerank_d2_sql("q.emb", "c.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d2}, c.vec_id) AS rank
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {PROBE_MOD} = 0 AND q.vec_id < {PROBE_CAP})
+        WHERE rank <= {PQ_TOPK}),
+    rr_full AS ({rr})
+    SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / {PQ_TOPK}, 6) AS recall_at_k
+    FROM exact_k e
+    LEFT JOIN rr_full a ON a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("sim_pq_rerank_recall", oracle=_pq_rerank_recall_oracle())
+def sim_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the re-ranked PQ search against exact
+    squared-L2 brute force — the measured sign-off number for the
+    refine stage (every approximate path in this repo ships one). Same
+    shape as ``sim_pq_recall_report``; the only difference is the
+    audited frame. Because the re-rank orders its shortlist exactly,
+    this recall is exactly shortlist membership of the true top-k —
+    the number the PQ_RERANK width buys (VERDICT r10 item 7: the sf1
+    recall dial)."""
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    q = (e.filter(_probe_filter())
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("emb").alias("qemb"),
+                  dot(F.col("emb"), F.col("emb")).alias("qq")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("cemb"),
+                 dot(F.col("emb"), F.col("emb")).alias("cc"))
+    d2 = (F.col("qq") - 2 * dot(F.col("qemb"), F.col("cemb"))
+          + F.col("cc"))
+    wrank = Window.partitionBy("query_id").orderBy(d2, F.asc("neighbor_id"))
+    exact_k = (F.broadcast(q)
+               .join(c, F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("rank", F.row_number().over(wrank))
+               .filter(F.col("rank") <= PQ_TOPK)
+               .select("query_id", "neighbor_id"))
+    rr = (sim_pq_rerank_search(spark, sf_dir)
+          .select("query_id", F.col("neighbor_id").alias("rr_neighbor")))
+    return (
+        exact_k.join(
+            rr, (exact_k.query_id == rr.query_id)
+            & (exact_k.neighbor_id == rr.rr_neighbor), "left")
+        .groupBy(exact_k.query_id.alias("query_id"))
+        .agg(F.count("rr_neighbor").alias("n_hit"))
+        .select("query_id", "n_hit",
+                F.round(F.col("n_hit") / PQ_TOPK, 6).alias("recall_at_k"))
+    )
 
 
 def _pq_recall_oracle() -> str:

@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-11 additions, and the REVERIFY
-# names rewritten after their green rows: 12 names, leaving ~38
+# names rewritten after their green rows: 14 names, leaving ~36
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
@@ -87,6 +87,10 @@ PRIORITY_QUERIES = (
     # the registered flip); same unrolled-recurrence oracle as the
     # broadcast sibling, so the dispatch can change plans, not answers
     "graph_crawl_pagerank_auto", "graph_crawl_pagerank_copartitioned",
+    # round-11 new: the PQ refine stage (ADC shortlist → exact re-rank,
+    # the FAISS RFlat pattern) and its recall sign-off — VERDICT r10
+    # item 7's recall-recovery dial, both full-pipeline oracle-gated
+    "sim_pq_rerank_search", "sim_pq_rerank_recall",
     # round-11 REVERIFY: the trade dispatcher gained the edge-volume
     # axis (VERDICT r10 item 1), the crawl broadcast query's edge build
     # moved into the shared _crawl_edges helper, the copartitioned

@@ -770,6 +770,35 @@ def test_pq_adc_scan_broadcasts_and_never_cartesians(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_pq_rerank_refine_stage_broadcasts(spark, sf_dir):
+    # the refine stage must fetch the shortlist's full-precision
+    # vectors by broadcasting the |probes| x PQ_RERANK shortlist
+    # against the corpus — a BroadcastHashJoin on neighbor_id, the
+    # corpus scanned once and never shuffled for the re-rank. The only
+    # sort-merge joins allowed are the probe-BOUNDED distance-table
+    # spine joins the ADC build already plans (keys (query_id, slot),
+    # |probes| x PQ_M*stride rows — AQE converts them at runtime); the
+    # only nested-loop joins are the 1-row quantization-grid attaches
+    # (the IVF-PQ allowance) plus the ADC scan's broadcast probe-table
+    # attach (the deliberate |probes| x n code scan, non-equi on
+    # vec_id != query_id — sim_pq_adc_search's own shape).
+    import re
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_pq_rerank_search"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert re.search(r"BroadcastHashJoin \[neighbor_id#\d+L?\]", plan), \
+        plan[:2000]
+    smj = re.findall(r"SortMergeJoin[^\n]*", plan)
+    assert all("query_id" in s and "slot" in s for s in smj), smj
+    bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert all("Cross" in b or "query_id" in b for b in bnlj), bnlj
+    assert len(bnlj) <= 3, bnlj
+
+
 def test_ivfpq_scan_is_all_equijoins(spark, sf_dir):
     # the cell-pruned composition tightens the contract further: the
     # assigned-cells and distance-table joins are broadcast EQUI-joins,

@@ -48,6 +48,13 @@ def main() -> int:
         rec["recall_report_s"] = round(time.time() - t0, 3)
         rec["mean_recall_at_3"] = round(row["r"], 4)
         rec["n_probes"] = row["n"]
+        # the refine stage (r11): ADC shortlist -> exact re-rank
+        t0 = time.time()
+        rrow = (S.sim_pq_rerank_recall(spark, sf_dir)
+                .agg(F.avg("recall_at_k").alias("r")).collect()[0])
+        rec["rerank_recall_s"] = round(time.time() - t0, 3)
+        rec["mean_rerank_recall_at_3"] = round(rrow["r"], 4)
+        rec["pq_rerank"] = S.PQ_RERANK
         print(json.dumps(rec), flush=True)
     return 0
 
