@@ -1369,6 +1369,22 @@ def sim_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (_pq_adc_ranked(spark, sf_dir)
           .filter(F.col("rank") <= PQ_RERANK)
           .select("query_id", "neighbor_id"))
+    return _exact_rerank(spark, sf_dir, sl)
+
+
+sim_pq_rerank_search.__doc__ = sim_pq_rerank_search.__doc__.format(
+    PQ_RERANK=PQ_RERANK, PQ_TOPK=PQ_TOPK)
+
+
+def _exact_rerank(spark: SparkSession, sf_dir: str,
+                  sl: DataFrame) -> DataFrame:
+    """The refine stage shared by ``sim_pq_rerank_search`` and
+    ``sim_ivfpq_rerank_search``: given a (query_id, neighbor_id)
+    shortlist, fetch full-precision vectors with ONE broadcast-hash
+    join against the corpus (shortlist side broadcasts; the corpus is
+    scanned once, never shuffled), exactly re-score ‖q−c‖² =
+    qq − 2qc + cc with the in-order dot() fold, and take the final
+    top-``PQ_TOPK`` per probe."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", as_double(F.col("embedding")).alias("emb"))
     q = (e.filter(_probe_filter())
@@ -1388,10 +1404,6 @@ def sim_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= PQ_TOPK)
             .select("query_id", "neighbor_id",
                     F.round("d2", 6).alias("dist2"), "rank"))
-
-
-sim_pq_rerank_search.__doc__ = sim_pq_rerank_search.__doc__.format(
-    PQ_RERANK=PQ_RERANK, PQ_TOPK=PQ_TOPK)
 
 
 def _pq_rerank_recall_oracle() -> str:
@@ -1542,7 +1554,9 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_PROBE_CELLS = 2   # coarse cells scanned per probe (multiprobe)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(topk: int = PQ_TOPK) -> str:
+    """``topk`` widens the cut for the re-rank shortlist
+    (``sim_ivfpq_rerank_search`` nests this at ``PQ_RERANK``)."""
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
@@ -1593,7 +1607,7 @@ def _ivfpq_oracle() -> str:
         SELECT query_id, neighbor_id, ad2,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY ad2, neighbor_id) AS rank
-        FROM adc) WHERE rank <= {PQ_TOPK}
+        FROM adc) WHERE rank <= {topk}
     """
 
 
@@ -1620,6 +1634,16 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sim_ivf_recall_multiprobe``) and the PQ codebook shape
     (``sim_pq_recall_report``).
     """
+    adc = _ivfpq_ranked(spark, sf_dir)
+    return (adc.filter(F.col("rank") <= PQ_TOPK)
+               .select("query_id", "neighbor_id",
+                       F.round("ad2", 6).alias("adist2"), "rank"))
+
+
+def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, ad2, rank): the cell-pruned ADC ranking,
+    shared by the top-k cut (``sim_ivfpq_search``) and the re-rank
+    shortlist cut (``sim_ivfpq_rerank_search``)."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     grid = _pq_grid(e)
@@ -1667,11 +1691,50 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _pq_adc_fold().alias("ad2")))
 
     wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
-    return (adc.withColumn("rank", F.row_number().over(wrank))
-               .filter(F.col("rank") <= PQ_TOPK)
-               .select("query_id", "neighbor_id",
-                       F.round("ad2", 6).alias("adist2"), "rank"))
+    return adc.withColumn("rank", F.row_number().over(wrank))
 
 
 sim_ivfpq_search.__doc__ = sim_ivfpq_search.__doc__.format(
     p=IVFPQ_PROBE_CELLS)
+
+
+def _ivfpq_rerank_oracle() -> str:
+    d2 = _pq_rerank_d2_sql("q.emb", "c.emb")
+    return f"""
+    WITH shortlist AS ({_ivfpq_oracle(PQ_RERANK)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings)
+    SELECT query_id, neighbor_id, round(d2, 6) AS dist2, rank FROM (
+        SELECT s.query_id, s.neighbor_id, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {d2}, s.neighbor_id) AS rank
+        FROM shortlist s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+@query("sim_ivfpq_rerank_search", oracle=_ivfpq_rerank_oracle())
+def sim_ivfpq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production ANN path: IVF cell pruning → PQ-ADC
+    scoring → exact re-rank of the shortlist (FAISS ``IVFx,PQy`` +
+    refine). Coarse quantizer prunes WHICH code rows are scanned, PQ
+    shrinks WHAT is scanned, the refine stage restores exact ordering
+    on the |probes| × PQ_RERANK survivors — all three dials
+    (n_probe cells, lattice bits, shortlist width) priced by their
+    respective recall reports (``sim_ivf_recall_multiprobe``,
+    ``sim_pq_recall_report``, ``sim_pq_rerank_recall``; the
+    composition's recall is bounded above by cell membership — a true
+    neighbor outside the probed cells can never enter the shortlist,
+    which is the n_probe trade the IVF report prices).
+
+    Plan: the cell-pruned ADC ranking (identical to
+    ``sim_ivfpq_search``) cut at ``PQ_RERANK``, then the shared
+    ``_exact_rerank`` refine join — shortlist broadcasts, corpus
+    scanned once, never shuffled. The oracle nests the full IVF-PQ
+    pipeline at shortlist width and replicates the exact re-score."""
+    sl = (_ivfpq_ranked(spark, sf_dir)
+          .filter(F.col("rank") <= PQ_RERANK)
+          .select("query_id", "neighbor_id"))
+    return _exact_rerank(spark, sf_dir, sl)

@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-11 additions, and the REVERIFY
-# names rewritten after their green rows: 14 names, leaving ~36
+# names rewritten after their green rows: 17 names, leaving ~33
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
@@ -88,9 +88,11 @@ PRIORITY_QUERIES = (
     # broadcast sibling, so the dispatch can change plans, not answers
     "graph_crawl_pagerank_auto", "graph_crawl_pagerank_copartitioned",
     # round-11 new: the PQ refine stage (ADC shortlist → exact re-rank,
-    # the FAISS RFlat pattern) and its recall sign-off — VERDICT r10
-    # item 7's recall-recovery dial, both full-pipeline oracle-gated
+    # the FAISS RFlat pattern), its recall sign-off — VERDICT r10
+    # item 7's recall-recovery dial — and the complete composed
+    # IVF→PQ→refine path; all full-pipeline oracle-gated
     "sim_pq_rerank_search", "sim_pq_rerank_recall",
+    "sim_ivfpq_rerank_search",
     # round-11 REVERIFY: the trade dispatcher gained the edge-volume
     # axis (VERDICT r10 item 1), the crawl broadcast query's edge build
     # moved into the shared _crawl_edges helper, the copartitioned
@@ -99,6 +101,10 @@ PRIORITY_QUERIES = (
     # medium) with the synth corpus + oracle extended to cover :8080
     "graph_pagerank_auto", "graph_crawl_pagerank",
     "graph_pagerank_copartitioned", "dedup_url_canonical",
+    # round-11 REVERIFY: ranking bodies extracted into shared helpers
+    # (_pq_adc_ranked / _ivfpq_ranked) so the refine stage cuts the
+    # same plan at shortlist width — plans unchanged, plan-asserted
+    "sim_pq_adc_search", "sim_ivfpq_search",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -131,9 +137,14 @@ CORRECTNESS_ARTIFACTS = (
 # non-default ports now SURVIVE; the synth corpus and oracle cover
 # :8080). All re-ran strict-parity clean locally (PARITY_r11); the
 # driver rows re-attest them.
+# Also r11: sim_pq_adc_search / sim_ivfpq_search had their ranking
+# bodies extracted into shared helpers (_pq_adc_ranked /
+# _ivfpq_ranked) so the refine stage can cut the same plan at
+# shortlist width — plans unchanged (plan-asserted), rows re-attested.
 REVERIFY: tuple[str, ...] = (
     "graph_pagerank_auto", "graph_crawl_pagerank",
     "graph_pagerank_copartitioned", "dedup_url_canonical",
+    "sim_pq_adc_search", "sim_ivfpq_search",
 )
 
 

@@ -799,6 +799,25 @@ def test_pq_rerank_refine_stage_broadcasts(spark, sf_dir):
     assert len(bnlj) <= 3, bnlj
 
 
+def test_ivfpq_rerank_composition_discipline(spark, sf_dir):
+    # the composed IVF→PQ→refine path keeps both parents' contracts:
+    # broadcast joins, no cartesian, the refine fetch is a
+    # BroadcastHashJoin on neighbor_id, and the only sort-merge joins
+    # are the probe-bounded distance-table spine joins.
+    import re
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_ivfpq_rerank_search"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert re.search(r"BroadcastHashJoin \[neighbor_id#\d+L?\]", plan), \
+        plan[:2000]
+    smj = re.findall(r"SortMergeJoin[^\n]*", plan)
+    assert all("query_id" in s and "slot" in s for s in smj), smj
+
+
 def test_ivfpq_scan_is_all_equijoins(spark, sf_dir):
     # the cell-pruned composition tightens the contract further: the
     # assigned-cells and distance-table joins are broadcast EQUI-joins,
