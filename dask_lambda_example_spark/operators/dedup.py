@@ -467,6 +467,38 @@ def _minhash_oracle() -> str:
     """
 
 
+def _mh_bands(tok_sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val): the LSH band index, 8 rows per doc
+    — shared by the all-pairs query (``dedup_minhash_lsh_pairs``) and
+    the incremental batch-vs-index variant
+    (``dedup_incremental_minhash``).
+
+    Signature: universal-hashing family g_i = (h1 + i·h2) mod 2³²
+    from TWO md5-derived hashes per shingle (not 16 md5 calls — the
+    affine combinations are integer ops); h1/h2 materialized as
+    columns so the 16 min-aggregates reference attributes instead of
+    re-evaluating md5. One aggregation pass computes all 16 mins."""
+    th = tok_sig.select(
+        "doc_id",
+        hex32(F.col("token")).alias("h1"),
+        hex32(F.concat(F.col("token"), F.lit("#"))).alias("h2"))
+    sig = th.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + i * F.col("h2")) % _M32_MOD).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(F.col(f"mh{2 * b}").cast("string"), F.lit("|"),
+                     F.col(f"mh{2 * b + 1}").cast("string")).alias("band_val"),
+        )
+        for b in range(N_BANDS)
+    ])
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band_id").alias("band_id"),
+        F.col("bs.band_val").alias("band_val"))
+
+
 @query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: 16 universal-family minhashes per doc
@@ -497,32 +529,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard values stay exact; only candidate RECALL changes.
     tok_sig = drop_stop_shingles(tok, cap) if cap is not None else tok
 
-    # signature: universal-hashing family g_i = (h1 + i·h2) mod 2³²
-    # from TWO md5-derived hashes per shingle (not 16 md5 calls — the
-    # affine combinations are integer ops); h1/h2 materialized as
-    # columns so the 16 min-aggregates reference attributes instead of
-    # re-evaluating md5. One aggregation pass computes all 16 mins.
-    th = tok_sig.select(
-        "doc_id",
-        hex32(F.col("token")).alias("h1"),
-        hex32(F.concat(F.col("token"), F.lit("#"))).alias("h2"))
-    sig = th.groupBy("doc_id").agg(*[
-        F.min((F.col("h1") + i * F.col("h2")) % _M32_MOD).alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ])
-
-    # bands: (doc_id, band_id, band_val) — 8 rows per doc
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat(F.col(f"mh{2 * b}").cast("string"), F.lit("|"),
-                     F.col(f"mh{2 * b + 1}").cast("string")).alias("band_val"),
-        )
-        for b in range(N_BANDS)
-    ])
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band_id").alias("band_id"),
-        F.col("bs.band_val").alias("band_val"))
+    bands = _mh_bands(tok_sig)
 
     # candidate pairs from grouped band posting lists (one pass over
     # bands instead of a band self-join that would rebuild signatures
@@ -559,6 +566,135 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def _incr_minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min((h1 + {i} * h2) % {_M32_MOD}) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat(mh{2 * b}, '|', mh{2 * b + 1}) AS band_val FROM sig"
+        for b in range(N_BANDS)
+    )
+    h1 = HEX32_SQL.format(x="token")
+    h2 = HEX32_SQL.format(x="token || '#'")
+    return f"""
+    WITH tok AS ({SHINGLES_SQL}),
+    th AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM tok),
+    sig AS (SELECT doc_id, {mh_cols} FROM th GROUP BY doc_id),
+    bands AS ({band_rows}),
+    flags AS (SELECT doc_id,
+                     CAST(substr(source, 4) AS INT)
+                       >= {INCR_INCOMING_MIN_SRC} AS is_incoming
+              FROM documents),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+        FROM bands x
+        JOIN flags fx ON fx.doc_id = x.doc_id AND fx.is_incoming
+        JOIN bands y ON y.band_id = x.band_id
+                    AND y.band_val = x.band_val
+        JOIN flags fy ON fy.doc_id = y.doc_id AND NOT fy.is_incoming),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    common AS (
+        SELECT c.batch_id, c.corpus_id, count(*) AS ct
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.batch_id
+        JOIN tok tb ON tb.doc_id = c.corpus_id AND tb.token = ta.token
+        GROUP BY c.batch_id, c.corpus_id),
+    scored AS (
+        SELECT batch_id, corpus_id,
+               ct * 1.0 / (sa.sz + sb.sz - ct) AS j
+        FROM common
+        JOIN sizes sa ON sa.doc_id = batch_id
+        JOIN sizes sb ON sb.doc_id = corpus_id
+        WHERE ct * 1.0 / (sa.sz + sb.sz - ct) >= {JACCARD_THRESHOLD}),
+    best AS (SELECT batch_id, corpus_id, j FROM (
+            SELECT batch_id, corpus_id, j,
+                   row_number() OVER (PARTITION BY batch_id
+                                      ORDER BY j DESC, corpus_id) AS rn
+            FROM scored) WHERE rn = 1)
+    SELECT f.doc_id, b.corpus_id AS matched_doc_id,
+           round(b.j, 6) AS jaccard,
+           (b.corpus_id IS NOT NULL) AS near_dup_of_existing
+    FROM flags f LEFT JOIN best b ON b.batch_id = f.doc_id
+    WHERE f.is_incoming
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_incr_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: the new shard (sources ≥
+    src{INCR_INCOMING_MIN_SRC}, the ``dedup_incremental_ingest``
+    split) is checked against the already-ingested corpus' MinHash-LSH
+    band index — the daily-pipeline shape for fuzzy dedup, where the
+    corpus×corpus pass ran once historically and each new batch only
+    pays batch×index. Per incoming doc: the best existing near-dup
+    (highest exact Jaccard ≥ {JACCARD_THRESHOLD}, ties to the lowest
+    corpus doc_id) or a no-match row.
+
+    Scale posture: the corpus contributes only its {N_BANDS} band rows
+    per doc (in production a persisted index, maintained
+    incrementally — here derived in-query from the same table);
+    candidates come from a plain (band_id, band_val) equi-join of
+    batch bands against index bands — never corpus×corpus, never a
+    posting-list self-join — and exact Jaccard verification touches
+    only candidate postings. Document bytes never shuffle; the
+    hot-shingle df cap (``SPARK_GRAFT_SHINGLE_MAX_DF``) applies to the
+    signature build exactly as in the all-pairs query. The DuckDB
+    oracle replicates the full pipeline (same hash family, banding,
+    verify), so LSH's false negatives are part of the checked
+    contract."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    srcnum = F.substring(F.col("source"), 4, 10).cast("int")
+    flags = d.select(
+        "doc_id", (srcnum >= INCR_INCOMING_MIN_SRC).alias("is_incoming"))
+    tok = materialize(shingles(d), spark, "incr_minhash_shingles")
+    cap = shingle_df_cap()
+    tok_sig = drop_stop_shingles(tok, cap) if cap is not None else tok
+
+    bands = _mh_bands(tok_sig).join(flags, "doc_id")
+    batch_bands = (bands.filter(F.col("is_incoming"))
+                   .select(F.col("doc_id").alias("batch_id"),
+                           "band_id", "band_val"))
+    index_bands = (bands.filter(~F.col("is_incoming"))
+                   .select(F.col("doc_id").alias("corpus_id"),
+                           "band_id", "band_val"))
+    cand = (batch_bands.join(index_bands, ["band_id", "band_val"])
+            .select("batch_id", "corpus_id").distinct())
+
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    common = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("batch_id"))
+        .join(tb, (F.col("tb.doc_id") == F.col("corpus_id"))
+              & (F.col("tb.token") == F.col("ta.token")))
+        .groupBy(F.col("batch_id"), F.col("ta.sz").alias("sza"),
+                 F.col("corpus_id"), F.col("tb.sz").alias("szb"))
+        .agg(F.count("*").alias("ct"))
+    )
+    jac = F.col("ct") / (F.col("sza") + F.col("szb") - F.col("ct"))
+    wbest = Window.partitionBy("batch_id").orderBy(
+        F.desc("j"), F.asc("corpus_id"))
+    best = (common.withColumn("j", jac)
+            .filter(F.col("j") >= JACCARD_THRESHOLD)
+            .withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(F.col("batch_id").alias("doc_id"),
+                    F.col("corpus_id").alias("matched_doc_id"),
+                    F.round("j", 6).alias("jaccard")))
+    return (flags.filter(F.col("is_incoming"))
+            .select("doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id", "matched_doc_id", "jaccard",
+                    F.col("matched_doc_id").isNotNull()
+                     .alias("near_dup_of_existing")))
+
+
+dedup_incremental_minhash.__doc__ = dedup_incremental_minhash.__doc__.format(
+    INCR_INCOMING_MIN_SRC=INCR_INCOMING_MIN_SRC,
+    JACCARD_THRESHOLD=JACCARD_THRESHOLD, N_BANDS=N_BANDS)
 
 
 # ---------------------------------------------------------------------------

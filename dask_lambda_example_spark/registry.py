@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-11 additions, and the REVERIFY
-# names rewritten after their green rows: 17 names, leaving ~33
+# names rewritten after their green rows: 20 names, leaving ~30
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
@@ -93,6 +93,11 @@ PRIORITY_QUERIES = (
     # IVF→PQ→refine path; all full-pipeline oracle-gated
     "sim_pq_rerank_search", "sim_pq_rerank_recall",
     "sim_ivfpq_rerank_search",
+    # round-11 new: incremental NEAR-dup ingest (batch vs the corpus'
+    # MinHash-LSH band index — the daily fuzzy-dedup shape; never
+    # corpus×corpus), full-pipeline oracle-gated. The all-pairs parent
+    # re-enters as REVERIFY (its band build moved into shared _mh_bands)
+    "dedup_incremental_minhash", "dedup_minhash_lsh_pairs",
     # round-11 REVERIFY: the trade dispatcher gained the edge-volume
     # axis (VERDICT r10 item 1), the crawl broadcast query's edge build
     # moved into the shared _crawl_edges helper, the copartitioned
@@ -145,6 +150,8 @@ REVERIFY: tuple[str, ...] = (
     "graph_pagerank_auto", "graph_crawl_pagerank",
     "graph_pagerank_copartitioned", "dedup_url_canonical",
     "sim_pq_adc_search", "sim_ivfpq_search",
+    # r11: band build extracted into _mh_bands for the incremental twin
+    "dedup_minhash_lsh_pairs",
 )
 
 

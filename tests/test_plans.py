@@ -173,6 +173,18 @@ def test_semdedup_is_cell_equijoin(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_incremental_minhash_is_band_equijoin(spark, sf_dir):
+    # batch-vs-index candidate generation must be a plain equi-join on
+    # (band_id, band_val) — never a cartesian product, never a
+    # nested-loop join (the corpus x corpus shape the incremental
+    # design exists to avoid)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["dedup_incremental_minhash"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
 def test_share_twophase_has_no_window(spark, sf_dir):
     # the scale-safe share-of-total must not contain a Window node —
     # denominators travel as broadcast aggregates
