@@ -654,6 +654,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = shingle_df_cap()
     tok_sig = drop_stop_shingles(tok, cap) if cap is not None else tok
 
+    # The band build plans ONCE PER SIDE of the candidate join (2×16
+    # partial_min aggregates in the executed plan) — but that is NOT
+    # duplicated work: the is_incoming flag join keys on doc_id, the
+    # signature groupBy's own key, so each side's aggregation covers
+    # only ITS disjoint doc subset (batch / corpus) and the two halves
+    # sum to one full build. Measured (sf1/sf10): caching the unsplit
+    # band index instead is SLOWER (9.7→11.9 s / 20.7→24.0 s) — the
+    # barrier pays a full-index write+read to save nothing.
     bands = _mh_bands(tok_sig).join(flags, "doc_id")
     batch_bands = (bands.filter(F.col("is_incoming"))
                    .select(F.col("doc_id").alias("batch_id"),

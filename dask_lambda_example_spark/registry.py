@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # driver records only that they ran; that weak signal is re-earned
 # EVERY round, since a no-correctness-signal row never marks a query
 # verified — ADVICE r3), the round-11 additions, and the REVERIFY
-# names rewritten after their green rows: 20 names, leaving ~30
+# names rewritten after their green rows: 19 names, leaving ~31
 # surplus window slots that auto-fill with the STALEST-verified names —
 # regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.

@@ -17,11 +17,37 @@ expected to be overridden (or AQE-coalesced) on a cluster.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _xlog_submit_args(submit_args: str, opts: str) -> str:
+    """Thread the ``-Xlog`` stderr routing into ``PYSPARK_SUBMIT_ARGS``.
+
+    spark-submit keeps only the LAST ``--driver-java-options``
+    occurrence, so if the caller's args already carry one, MERGE the
+    -Xlog flag into that occurrence (a second prepended occurrence
+    would be silently discarded and the stdout routing lost — review
+    finding, round 11); otherwise prepend a fresh option. A bare
+    (unquoted) existing value gains quotes, since the merged value
+    contains a space."""
+    m = re.search(
+        r'--driver-java-options\s+(")([^"]*)(")'
+        r"|--driver-java-options\s+(')([^']*)(')"
+        r"|--driver-java-options\s+()([^\s'\"]+)()", submit_args)
+    if not m:
+        return f'--driver-java-options "{opts}" {submit_args}'
+    quote, val = next(
+        (m.group(i), m.group(i + 1))
+        for i in (1, 4, 7) if m.group(i) is not None)
+    quote = quote or '"'
+    merged = (f"--driver-java-options "
+              f"{quote}-Xlog:all=warning:stderr {val}{quote}")
+    return submit_args[:m.start()] + merged + submit_args[m.end():]
 
 
 def get_spark(app_name: str = "dask_lambda_example_spark",
@@ -126,8 +152,8 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
             opts = ("-Xlog:all=warning:stderr "
                     + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
                     ).strip()
-            os.environ["PYSPARK_SUBMIT_ARGS"] = (
-                f'--driver-java-options "{opts}" {submit_args}')
+            os.environ["PYSPARK_SUBMIT_ARGS"] = _xlog_submit_args(
+                submit_args, opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

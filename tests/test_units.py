@@ -1635,3 +1635,30 @@ def test_crawl_pagerank_graph_closure(spark, sf_dir):
     # rank mass: with dangling-node loss, total rank <= n*(0.15+0.85)=n
     total = sum(r.rank for r in rows)
     assert 0.15 * n_docs - 1e-3 <= total <= n_docs + 1e-3
+
+
+def test_xlog_submit_args_merge():
+    # spark-submit keeps only the LAST --driver-java-options, so the
+    # -Xlog routing must MERGE into an existing occurrence rather than
+    # prepend a second one that would be discarded (round-11 review).
+    from dask_lambda_example_spark.session import _xlog_submit_args
+
+    opts = "-Xlog:all=warning:stderr"
+    # no existing option: prepend a fresh quoted one
+    assert _xlog_submit_args("pyspark-shell", opts) == (
+        '--driver-java-options "-Xlog:all=warning:stderr" pyspark-shell')
+    # double-quoted existing value: -Xlog merges inside the quotes
+    assert _xlog_submit_args(
+        '--driver-java-options "-Xms2g" pyspark-shell', opts) == (
+        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        'pyspark-shell')
+    # single-quoted, multi-flag value
+    assert _xlog_submit_args(
+        "--driver-java-options '-Xms2g -Xss4m' pyspark-shell", opts) == (
+        "--driver-java-options '-Xlog:all=warning:stderr -Xms2g -Xss4m' "
+        "pyspark-shell")
+    # bare (unquoted) value gains quotes — the merged value has a space
+    assert _xlog_submit_args(
+        "--driver-java-options -Xms2g pyspark-shell", opts) == (
+        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        'pyspark-shell')

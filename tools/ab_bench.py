@@ -91,9 +91,21 @@ class _Worker:
         self.n_queries = ready["n_queries"]
 
     def run(self, name: str) -> dict:
-        self.proc.stdin.write(name + "\n")
-        self.proc.stdin.flush()
-        return json.loads(self.proc.stdout.readline())
+        # a dead worker (JVM OOM, startup failure) yields EOF on the
+        # reply pipe; record that as a per-side error instead of
+        # crashing the whole session and losing accumulated results
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+        except (BrokenPipeError, OSError) as ex:
+            return {"name": name, "error": f"worker pipe broken: {ex}"}
+        if not line:
+            rc = self.proc.poll()
+            return {"name": name,
+                    "error": (f"worker died (exit={rc}); see "
+                              f"/tmp/ab_bench_{self.tag}.stderr")}
+        return json.loads(line)
 
     def close(self) -> None:
         try:
