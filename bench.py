@@ -53,6 +53,33 @@ def main() -> None:
                   f"{sorted(unknown)}", file=sys.stderr)
         names = [n for n in names if n in wanted]
 
+    # Labeled NAIVE siblings — queries kept registered and oracle-gated
+    # purely as the measured comparison point for their scale-safe twin
+    # + auto dispatcher (VERDICT r11 item 5). Above the cap tier they
+    # are ~14% of the sf10 battery (587 s of 4266 s at r11) while every
+    # user-facing path dispatches AWAY from them, so the full battery
+    # skips them past SPARK_GRAFT_BENCH_NAIVE_SF_CAP (default sf1) and
+    # their big-tier walls live in GROWTH_r12_naive_twins.json, measured
+    # once, instead of re-priced every battery. SPARK_GRAFT_BENCH_ONLY
+    # bypasses the cap (an explicit name ask is an explicit ask).
+    naive_twins = {
+        "graph_pagerank": "graph_pagerank_auto",
+        "graph_crawl_pagerank": "graph_crawl_pagerank_auto",
+        "win_rank_dense_ntile": "win_rank_auto",
+        "agg_percentile_exact": "agg_percentile_auto",
+    }
+    missing_twins = (set(naive_twins) | set(naive_twins.values())) - set(QUERIES)
+    assert not missing_twins, f"naive-cap names drifted: {missing_twins}"
+    naive_cap = float(os.environ.get("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "1"))
+    naive_capped: list[str] = []
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.0
+    if not only and sf_num > naive_cap:
+        naive_capped = sorted(n for n in names if n in naive_twins)
+        names = [n for n in names if n not in naive_twins]
+
     times: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
@@ -124,6 +151,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
         "failed": sorted(n for n, t in times.items() if t < 0),
+        # naive siblings skipped past the cap tier (see naive_twins
+        # above); their big-tier walls are in GROWTH_r12_naive_twins.json
+        "naive_capped": naive_capped,
+        "naive_sf_cap": naive_cap,
         "flagship_synth_rows": flagship_rows,
         "flagship_synth_sec": round(flagship_s, 4),
         "flagship_rows_per_sec": round(flagship_rows / flagship_s),

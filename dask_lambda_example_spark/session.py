@@ -34,11 +34,15 @@ def _xlog_submit_args(submit_args: str, opts: str) -> str:
     would be silently discarded and the stdout routing lost — review
     finding, round 11); otherwise prepend a fresh option. A bare
     (unquoted) existing value gains quotes, since the merged value
-    contains a space."""
+    contains a space. Both separator forms spark-submit accepts are
+    matched — ``--driver-java-options VALUE`` and
+    ``--driver-java-options=VALUE`` (ADVICE r11: the equals form used
+    to slip past the regex, prepend a second occurrence, and silently
+    lose the -Xlog routing to whichever occurrence came last)."""
     m = re.search(
-        r'--driver-java-options\s+(")([^"]*)(")'
-        r"|--driver-java-options\s+(')([^']*)(')"
-        r"|--driver-java-options\s+()([^\s'\"]+)()", submit_args)
+        r'--driver-java-options(?:\s+|=)(")([^"]*)(")'
+        r"|--driver-java-options(?:\s+|=)(')([^']*)(')"
+        r"|--driver-java-options(?:\s+|=)()([^\s'\"]+)()", submit_args)
     if not m:
         return f'--driver-java-options "{opts}" {submit_args}'
     quote, val = next(

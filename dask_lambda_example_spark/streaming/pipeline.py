@@ -450,6 +450,39 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _await_first_rows(q, deadline_s: float | None = None,
+                      poll_s: float = 0.5,
+                      _clock=None, _sleep=None) -> bool:
+    """Block until ``q`` commits its first micro-batch with input rows,
+    or the deadline passes; return whether rows landed.
+
+    Polls the query's PROGRESS METADATA (numInputRows per committed
+    micro-batch — driver-side state, no Spark job), never a count()
+    per tick, and exits the moment a batch lands — so the deadline is
+    a worst-case bound, not a sleep. The default is deliberately
+    generous (90 s, env ``SPARK_GRAFT_STREAM_FIRST_BATCH_S``): under a
+    loaded 32-core host the first 1-second-trigger micro-batch can
+    take well over the old hard-coded 8 s to commit, which made the
+    rate-source gate flaky in the round-11 driver window (VERDICT r11
+    item 1) even though the query itself was correct. ``_clock`` /
+    ``_sleep`` are injectable for the unit test that replays a
+    slow-first-batch timeline without a real stream."""
+    import time as _time
+
+    clock = _clock or _time.time
+    sleep = _sleep or _time.sleep
+    if deadline_s is None:
+        deadline_s = float(
+            os.environ.get("SPARK_GRAFT_STREAM_FIRST_BATCH_S", "90"))
+    deadline = clock() + deadline_s
+    while True:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            return True
+        if clock() >= deadline:
+            return False
+        sleep(poll_s)
+
+
 @query("stream_rate_source_smoke")  # wall-clock-driven source → rows-only
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``rate`` source — streaming analog of the synthetic
@@ -477,17 +510,13 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(processingTime="1 second")
              .start())
     try:
-        # let a couple of micro-batches land, then stop — episodic use
-        # of a continuous trigger (the reference's 1-minute cadence,
-        # app.py:131-134, compressed for test time). Drain-completion
-        # polls the query's PROGRESS METADATA (numInputRows per
-        # committed micro-batch — driver-side state, no Spark job), not
-        # a count() query per tick.
-        import time as _time
-        deadline = _time.time() + 8
-        while (_time.time() < deadline
-               and not any(p["numInputRows"] > 0 for p in q.recentProgress)):
-            _time.sleep(0.5)
+        # let the first micro-batch land, then stop — episodic use of a
+        # continuous trigger (the reference's 1-minute cadence,
+        # app.py:131-134, compressed for test time). _await_first_rows
+        # exits the moment a batch commits; the generous env-tunable
+        # deadline only costs wall-clock on a host too loaded to commit
+        # any batch at all (r11's flaky 8 s gate, fixed).
+        landed = _await_first_rows(q)
     finally:
         q.stop()
     out = spark.table(table)
@@ -496,7 +525,11 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean is the arithmetic-series midpoint k + 13*(n_k - 1)
     rows = out.collect()
     total = sum(r["n"] for r in rows)
-    assert total > 0, "no micro-batch landed within the deadline"
+    # landed=False with total>0 just means the batch committed in the
+    # stop window after the last poll — still a pass; the gate is rows.
+    assert total > 0, (
+        f"no micro-batch landed within the deadline (landed={landed}; "
+        "raise SPARK_GRAFT_STREAM_FIRST_BATCH_S on slow hosts)")
     for r in rows:
         k = ord(r["name"]) - 97
         assert 0 <= k < 26, r

@@ -241,3 +241,101 @@ def test_max_files_per_trigger_rate_limit(spark):
     q.awaitTermination()
     assert len(batches) == n_files
     assert all(n == 10 for _, n in batches)
+
+
+def test_await_first_rows_slow_batch():
+    """VERDICT r11 item 1: the rate-source gate must tolerate a first
+    micro-batch that takes far longer than the old hard-coded 8 s.
+    Replays a simulated timeline where the first batch commits at
+    t=30 s (a loaded 32-core host) against the default 90 s deadline —
+    no real stream, injectable clock/sleep."""
+    from dask_lambda_example_spark.streaming.pipeline import _await_first_rows
+
+    class FakeQuery:
+        def __init__(self, lands_at: float, clock):
+            self.lands_at = lands_at
+            self.clock = clock
+
+        @property
+        def recentProgress(self):
+            if self.clock.now >= self.lands_at:
+                return [{"numInputRows": 1000}]
+            return [{"numInputRows": 0}]
+
+    class FakeClock:
+        def __init__(self):
+            self.now = 0.0
+
+        def time(self):
+            return self.now
+
+        def sleep(self, s):
+            self.now += s
+
+    # slow first batch (t=30) inside the default deadline → True, and
+    # the wait stops the moment the batch lands (no full-deadline sleep)
+    clk = FakeClock()
+    q = FakeQuery(lands_at=30.0, clock=clk)
+    assert _await_first_rows(q, _clock=clk.time, _sleep=clk.sleep) is True
+    assert 30.0 <= clk.now < 31.0
+    # a batch that never lands → False exactly at the deadline
+    clk = FakeClock()
+    q = FakeQuery(lands_at=1e9, clock=clk)
+    assert _await_first_rows(q, deadline_s=12.0,
+                             _clock=clk.time, _sleep=clk.sleep) is False
+    assert clk.now >= 12.0
+    # env knob overrides the default deadline
+    import os
+    old = os.environ.get("SPARK_GRAFT_STREAM_FIRST_BATCH_S")
+    os.environ["SPARK_GRAFT_STREAM_FIRST_BATCH_S"] = "45"
+    try:
+        clk = FakeClock()
+        q = FakeQuery(lands_at=40.0, clock=clk)
+        assert _await_first_rows(q, _clock=clk.time,
+                                 _sleep=clk.sleep) is True
+        clk = FakeClock()
+        q = FakeQuery(lands_at=50.0, clock=clk)
+        assert _await_first_rows(q, _clock=clk.time,
+                                 _sleep=clk.sleep) is False
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_STREAM_FIRST_BATCH_S"]
+        else:
+            os.environ["SPARK_GRAFT_STREAM_FIRST_BATCH_S"] = old
+
+
+def test_rows_only_gates_under_load(spark, sf_dir):
+    """VERDICT r11 item 4: re-earn the rows-only queries' invariant
+    gates under a DELIBERATELY LOADED scheduler, so a wall-clock-
+    sensitive gate (the r11 driver window's one failure) fails here in
+    CI before it fails in a driver round. A background thread keeps
+    all task slots busy with short CPU-bound waves (the FIFO scheduler
+    then delays every micro-batch and query stage, modeling the
+    driver-run contention) while each rows-only query runs its body —
+    every invariant gate the bodies carry must still pass."""
+    import threading
+
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows_only = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+    assert "stream_rate_source_smoke" in rows_only
+
+    stop = threading.Event()
+
+    def saturate():
+        # waves of 64 ~0.5 s tasks: cores stay busy, slots free often
+        while not stop.is_set():
+            (spark.range(0, 64 * 400_000, 1, 64)
+             .selectExpr("sha2(cast(id AS string), 256) AS h")
+             .agg(F.count("h")).collect())
+
+    loader = threading.Thread(target=saturate, daemon=True)
+    loader.start()
+    try:
+        for name in rows_only:
+            df = QUERIES[name].fn(spark, sf_dir)
+            assert df.count() >= 0, name
+    finally:
+        stop.set()
+        loader.join(timeout=120)

@@ -1662,3 +1662,14 @@ def test_xlog_submit_args_merge():
         "--driver-java-options -Xms2g pyspark-shell", opts) == (
         '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
         'pyspark-shell')
+    # equals-separated forms (spark-submit accepts both; ADVICE r11 —
+    # the '=' form used to slip past the regex and prepend a second
+    # occurrence that spark-submit would silently discard)
+    assert _xlog_submit_args(
+        "--driver-java-options=-Xms2g pyspark-shell", opts) == (
+        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        'pyspark-shell')
+    assert _xlog_submit_args(
+        '--driver-java-options="-Xms2g -Xss4m" pyspark-shell', opts) == (
+        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g -Xss4m" '
+        'pyspark-shell')

@@ -9,12 +9,22 @@ spike hits both sides of a pair or neither.
 
 Usage:
   python tools/ab_bench.py --baseline <git-rev> [--sf-dir DIR]
-      [--queries a,b,c | --worst N] [--reps 2] [--out FILE]
+      [--queries a,b,c | --worst N [--cur-file F --base-file F]]
+      [--reps 2] [--out FILE]
+      [--env-current K=V[,K=V]] [--env-baseline K=V[,K=V]]
 
 --worst N (default 20) picks the N worst current/baseline ratio names
-from the committed BENCH_sf0.1_noop_r10.json vs _r9.json common window.
+from two committed battery ledgers (default the sf0.1 r10-vs-r9 pair;
+--cur-file/--base-file point it at any other pair, e.g. the sf10
+ledgers). --env-current/--env-baseline add per-side environment (e.g.
+SPARK_GRAFT_DRIVER_MEM=90g on ONE side to isolate a heap-config axis
+with identical code on both sides: --baseline HEAD).
 Output: one JSON object (BENCH_ab artifact) with per-query wall lists
-for both sides, best-of ratios, and the interleave order.
+for both sides, best-of ratios, and the interleave order. A worker
+that dies mid-sweep is restarted ONCE (fresh JVM, re-warmed off the
+clock); if it dies again the remaining one-sided rows are flagged via
+top-level aborted_sides/n_missing_ratios so a degraded sweep can't
+pass for a full one (ADVICE r11).
 (CPU-exclusive — timed; run alone like bench.py)
 """
 
@@ -69,43 +79,73 @@ def _arg(flag: str, default: str | None = None) -> str | None:
             if flag in sys.argv else default)
 
 
-def _worst_common_names(n: int) -> list[str]:
-    cur = json.load(open(REPO / "BENCH_sf0.1_noop_r10.json"))["queries"]
-    base = json.load(open(REPO / "BENCH_sf0.1_noop_r9.json"))["queries"]
+def _worst_common_names(n: int, cur_file: str, base_file: str) -> list[str]:
+    cur = json.load(open(REPO / cur_file))["queries"]
+    base = json.load(open(REPO / base_file))["queries"]
     common = [k for k in cur if k in base and cur[k] > 0 and base[k] > 0]
     common.sort(key=lambda k: cur[k] / base[k], reverse=True)
     return common[:n]
 
 
+def _parse_env(spec: str | None) -> dict[str, str]:
+    if not spec:
+        return {}
+    return dict(kv.split("=", 1) for kv in spec.split(",") if "=" in kv)
+
+
 class _Worker:
     def __init__(self, tag: str, repo: str, sf_dir: str,
-                 worker_py: str) -> None:
+                 worker_py: str, extra_env: dict[str, str] | None = None,
+                 ) -> None:
         self.tag = tag
-        self.log = open(f"/tmp/ab_bench_{tag}.stderr", "w")
+        self.repo = repo
+        self.sf_dir = sf_dir
+        self.worker_py = worker_py
+        self.extra_env = dict(extra_env or {})
+        self.restarts = 0
+        self._spawn()
+
+    def _spawn(self) -> None:
+        self.log = open(f"/tmp/ab_bench_{self.tag}.stderr", "a")
+        env = dict(os.environ, **self.extra_env)
         self.proc = subprocess.Popen(
-            [sys.executable, worker_py, repo, sf_dir],
+            [sys.executable, self.worker_py, self.repo, self.sf_dir],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=self.log, text=True, cwd=repo)
+            stderr=self.log, text=True, cwd=self.repo, env=env)
         ready = json.loads(self.proc.stdout.readline())
         assert ready.get("ready"), ready
         self.n_queries = ready["n_queries"]
 
     def run(self, name: str) -> dict:
         # a dead worker (JVM OOM, startup failure) yields EOF on the
-        # reply pipe; record that as a per-side error instead of
-        # crashing the whole session and losing accumulated results
-        try:
-            self.proc.stdin.write(name + "\n")
-            self.proc.stdin.flush()
-            line = self.proc.stdout.readline()
-        except (BrokenPipeError, OSError) as ex:
-            return {"name": name, "error": f"worker pipe broken: {ex}"}
-        if not line:
+        # reply pipe; restart it ONCE (fresh JVM, warm-up re-run off
+        # the clock) so one crash doesn't degrade the whole remaining
+        # sweep to one-sided timings (ADVICE r11); a second death is
+        # recorded per-row and surfaced in the summary doc
+        for attempt in (0, 1):
+            try:
+                self.proc.stdin.write(name + "\n")
+                self.proc.stdin.flush()
+                line = self.proc.stdout.readline()
+            except (BrokenPipeError, OSError) as ex:
+                line = ""
+            if line:
+                return json.loads(line)
             rc = self.proc.poll()
+            if attempt == 0 and self.restarts == 0:
+                self.restarts += 1
+                print(f"AB WARN {self.tag} worker died (exit={rc}); "
+                      f"restarting once", file=sys.stderr, flush=True)
+                try:
+                    self._spawn()
+                    continue
+                except Exception as ex:  # noqa: BLE001
+                    return {"name": name,
+                            "error": f"worker restart failed: {ex}"}
             return {"name": name,
                     "error": (f"worker died (exit={rc}); see "
                               f"/tmp/ab_bench_{self.tag}.stderr")}
-        return json.loads(line)
+        return {"name": name, "error": "unreachable"}
 
     def close(self) -> None:
         try:
@@ -125,7 +165,12 @@ def main() -> int:
     out = _arg("--out")
     names_arg = _arg("--queries")
     names = (names_arg.split(",") if names_arg
-             else _worst_common_names(int(_arg("--worst", "20"))))
+             else _worst_common_names(
+                 int(_arg("--worst", "20")),
+                 _arg("--cur-file", "BENCH_sf0.1_noop_r10.json"),
+                 _arg("--base-file", "BENCH_sf0.1_noop_r9.json")))
+    env_cur = _parse_env(_arg("--env-current"))
+    env_base = _parse_env(_arg("--env-baseline"))
 
     rev = subprocess.run(
         ["git", "-C", str(REPO), "rev-parse", "--short", baseline],
@@ -140,8 +185,8 @@ def main() -> int:
     worker_py.write(_WORKER_SRC)
     worker_py.close()
 
-    a = _Worker("current", str(REPO), sf_dir, worker_py.name)
-    b = _Worker("baseline", base_dir, sf_dir, worker_py.name)
+    a = _Worker("current", str(REPO), sf_dir, worker_py.name, env_cur)
+    b = _Worker("baseline", base_dir, sf_dir, worker_py.name, env_base)
     results: dict[str, dict] = {}
     try:
         for name in names:
@@ -167,11 +212,21 @@ def main() -> int:
             results[name] = rec
             print(json.dumps({name: rec}), file=sys.stderr, flush=True)
     finally:
+        # dead/exhausted state must be read BEFORE close() reaps the
+        # processes, or a crashed side would look identical to a clean
+        # exit in the summary doc
+        dead_sides = sorted(
+            w.tag for w in (a, b) if w.proc.poll() is not None)
         a.close()
         b.close()
 
     ratios = sorted(r["best_ratio"] for r in results.values()
                     if "best_ratio" in r)
+    # a partially dead session must be distinguishable from a full
+    # sweep (ADVICE r11): flag missing pairs and any side whose walls
+    # stopped landing, so median_best_ratio over a shrunken subset
+    # can't silently pass for the full comparison
+    missing = sorted(n for n, r in results.items() if "best_ratio" not in r)
     doc = {
         "audit": "ab_bench",
         "baseline_rev": rev,
@@ -179,6 +234,12 @@ def main() -> int:
         "reps_per_side": reps,
         "interleave": "A,B,B,A per rep-pair, sides alternate per query",
         "timing": "best-of per side (min over reps)",
+        "env_current": env_cur or None,
+        "env_baseline": env_base or None,
+        "worker_restarts": {"current": a.restarts, "baseline": b.restarts},
+        "n_missing_ratios": len(missing),
+        "missing_ratio_queries": missing,
+        "aborted_sides": dead_sides,
         "median_best_ratio": (ratios[len(ratios) // 2] if ratios else None),
         "queries": results,
     }
