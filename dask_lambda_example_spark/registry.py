@@ -79,37 +79,14 @@ PRIORITY_QUERIES = (
     # agg_approx_sketches' invariant gate moved from the query body to
     # pytest (test_approx_sketches_within_error_bounds) in r11 —
     # VERDICT r10 item 6; the rows-only re-earn is unchanged.
+    # r12: stream_rate_source_smoke was the ONE red driver row of the
+    # r11 window — its first-batch wait grew from a hard-coded 8 s to
+    # an env-tunable 90 s poll (VERDICT r11 item 1) and the gate is now
+    # CI-exercised under a saturated scheduler
+    # (test_rows_only_gates_under_load), so the re-earn holds on a
+    # loaded driver host too.
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
-    # round-11 new: the crawl graph's PageRank dispatcher and its
-    # co-partitioned (nothing-broadcast) twin (VERDICT r10 item 5 —
-    # graph_crawl_pagerank was the only PageRank entry point without
-    # the registered flip); same unrolled-recurrence oracle as the
-    # broadcast sibling, so the dispatch can change plans, not answers
-    "graph_crawl_pagerank_auto", "graph_crawl_pagerank_copartitioned",
-    # round-11 new: the PQ refine stage (ADC shortlist → exact re-rank,
-    # the FAISS RFlat pattern), its recall sign-off — VERDICT r10
-    # item 7's recall-recovery dial — and the complete composed
-    # IVF→PQ→refine path; all full-pipeline oracle-gated
-    "sim_pq_rerank_search", "sim_pq_rerank_recall",
-    "sim_ivfpq_rerank_search",
-    # round-11 new: incremental NEAR-dup ingest (batch vs the corpus'
-    # MinHash-LSH band index — the daily fuzzy-dedup shape; never
-    # corpus×corpus), full-pipeline oracle-gated. The all-pairs parent
-    # re-enters as REVERIFY (its band build moved into shared _mh_bands)
-    "dedup_incremental_minhash", "dedup_minhash_lsh_pairs",
-    # round-11 REVERIFY: the trade dispatcher gained the edge-volume
-    # axis (VERDICT r10 item 1), the crawl broadcast query's edge build
-    # moved into the shared _crawl_edges helper, the copartitioned
-    # recurrence into the shared _pr_shuffled_loop, and the URL
-    # canonicalizer learned to KEEP non-default ports (ADVICE r10
-    # medium) with the synth corpus + oracle extended to cover :8080
-    "graph_pagerank_auto", "graph_crawl_pagerank",
-    "graph_pagerank_copartitioned", "dedup_url_canonical",
-    # round-11 REVERIFY: ranking bodies extracted into shared helpers
-    # (_pq_adc_ranked / _ivfpq_ranked) so the refine stage cuts the
-    # same plan at shortlist width — plans unchanged, plan-asserted
-    "sim_pq_adc_search", "sim_ivfpq_search",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -128,31 +105,20 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
 # Names whose implementation changed materially after their last green
 # driver row: listed here they are treated as unverified again and float
 # back into the driver window (ADVICE r3 — a green row attests the code
 # that ran THAT round, not later rewrites).
-# r11: the trade PageRank dispatcher gained the edge-volume axis
-# (VERDICT r10 item 1), the crawl PageRank's edge build and the
-# copartitioned recurrence were refactored into shared helpers
-# (_crawl_edges / _pr_shuffled_loop — plans unchanged, plan-asserted),
-# and the URL canonicalizer's port rule changed (ADVICE r10 medium:
-# non-default ports now SURVIVE; the synth corpus and oracle cover
-# :8080). All re-ran strict-parity clean locally (PARITY_r11); the
-# driver rows re-attest them.
-# Also r11: sim_pq_adc_search / sim_ivfpq_search had their ranking
-# bodies extracted into shared helpers (_pq_adc_ranked /
-# _ivfpq_ranked) so the refine stage can cut the same plan at
-# shortlist width — plans unchanged (plan-asserted), rows re-attested.
-REVERIFY: tuple[str, ...] = (
-    "graph_pagerank_auto", "graph_crawl_pagerank",
-    "graph_pagerank_copartitioned", "dedup_url_canonical",
-    "sim_pq_adc_search", "sim_ivfpq_search",
-    # r11: band build extracted into _mh_bands for the incremental twin
-    "dedup_minhash_lsh_pairs",
-)
+# r12: every r11 REVERIFY name earned a fresh green row in the r11
+# driver window (CORRECTNESS_r11.json, 44/44 oracle-gated green), so
+# the list drains. The one body change this round —
+# stream_rate_source_smoke's first-batch wait — is a rows-only query
+# that re-earns its row every round by construction, so it needs no
+# REVERIFY entry.
+REVERIFY: tuple[str, ...] = ()
 
 
 def _verdicts() -> dict[str, bool]:
