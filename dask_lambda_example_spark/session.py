@@ -24,6 +24,17 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# JVM unified-logging routing: warnings must NEVER land on stdout
+# (bench.py's contract is one JSON line there). ``-Xlog:...:stderr``
+# alone only ADDS a stderr output — the JVM's default
+# ``stdout all=warning`` output stays active and still duplicates every
+# warning onto stdout (round-12, measured with ``jcmd VM.log list``: a
+# gc,alloc GCLocker warning leaked ahead of the sf10 battery's JSON
+# line). ``-Xlog:disable`` first removes ALL outputs including the
+# stdout default; the second option then adds back exactly one, on
+# stderr.
+XLOG_STDERR_OPTS = "-Xlog:disable -Xlog:all=warning:stderr"
+
 
 def _xlog_submit_args(submit_args: str, opts: str) -> str:
     """Thread the ``-Xlog`` stderr routing into ``PYSPARK_SUBMIT_ARGS``.
@@ -50,7 +61,7 @@ def _xlog_submit_args(submit_args: str, opts: str) -> str:
         for i in (1, 4, 7) if m.group(i) is not None)
     quote = quote or '"'
     merged = (f"--driver-java-options "
-              f"{quote}-Xlog:all=warning:stderr {val}{quote}")
+              f"{quote}{opts} {val}{quote}")
     return submit_args[:m.start()] + merged + submit_args[m.end():]
 
 
@@ -139,7 +150,7 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
             # same override pattern as SPARK_GRAFT_DRIVER_MEM
             # (ADVICE r10).
             "spark.driver.extraJavaOptions",
-            ("-Xlog:all=warning:stderr "
+            (XLOG_STDERR_OPTS + " "
              + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")).strip()
         )
         # The conf above only reaches the JVM when spark-submit launches
@@ -153,7 +164,7 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
 
         submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
         if SparkContext._gateway is None and "-Xlog" not in submit_args:
-            opts = ("-Xlog:all=warning:stderr "
+            opts = (XLOG_STDERR_OPTS + " "
                     + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
                     ).strip()
             os.environ["PYSPARK_SUBMIT_ARGS"] = _xlog_submit_args(

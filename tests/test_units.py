@@ -1643,33 +1643,34 @@ def test_xlog_submit_args_merge():
     # prepend a second one that would be discarded (round-11 review).
     from dask_lambda_example_spark.session import _xlog_submit_args
 
-    opts = "-Xlog:all=warning:stderr"
+    from dask_lambda_example_spark.session import XLOG_STDERR_OPTS
+    opts = XLOG_STDERR_OPTS
     # no existing option: prepend a fresh quoted one
     assert _xlog_submit_args("pyspark-shell", opts) == (
-        '--driver-java-options "-Xlog:all=warning:stderr" pyspark-shell')
+        '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr" pyspark-shell')
     # double-quoted existing value: -Xlog merges inside the quotes
     assert _xlog_submit_args(
         '--driver-java-options "-Xms2g" pyspark-shell', opts) == (
-        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr -Xms2g" '
         'pyspark-shell')
     # single-quoted, multi-flag value
     assert _xlog_submit_args(
         "--driver-java-options '-Xms2g -Xss4m' pyspark-shell", opts) == (
-        "--driver-java-options '-Xlog:all=warning:stderr -Xms2g -Xss4m' "
+        "--driver-java-options '-Xlog:disable -Xlog:all=warning:stderr -Xms2g -Xss4m' "
         "pyspark-shell")
     # bare (unquoted) value gains quotes — the merged value has a space
     assert _xlog_submit_args(
         "--driver-java-options -Xms2g pyspark-shell", opts) == (
-        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr -Xms2g" '
         'pyspark-shell')
     # equals-separated forms (spark-submit accepts both; ADVICE r11 —
     # the '=' form used to slip past the regex and prepend a second
     # occurrence that spark-submit would silently discard)
     assert _xlog_submit_args(
         "--driver-java-options=-Xms2g pyspark-shell", opts) == (
-        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g" '
+        '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr -Xms2g" '
         'pyspark-shell')
     assert _xlog_submit_args(
         '--driver-java-options="-Xms2g -Xss4m" pyspark-shell', opts) == (
-        '--driver-java-options "-Xlog:all=warning:stderr -Xms2g -Xss4m" '
+        '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr -Xms2g -Xss4m" '
         'pyspark-shell')
