@@ -75,7 +75,13 @@ def main() -> None:
     try:
         sf_num = float(sf)
     except ValueError:
+        # an unparseable sf dir silently disables the cap — say so, or
+        # a big-tier run in a custom-named dir re-prices the naive
+        # twins with a ledger that looks like an intentional sub-cap
+        # run (round-12 review)
         sf_num = 0.0
+        print(f"BENCH WARN sf unparseable from {sf_dir!r} — "
+              f"naive-twin cap DISABLED for this run", file=sys.stderr)
     if not only and sf_num > naive_cap:
         naive_capped = sorted(n for n in names if n in naive_twins)
         names = [n for n in names if n not in naive_twins]

@@ -59,16 +59,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 
 # The verification driver samples the FIRST 50 entries of queries() each
-# round. The cumulative union of CORRECTNESS_r01-r10 covers ALL
-# oracle-gated queries green with zero never-verified names (r10: 44
-# full green + 6 rows-only re-earns, zero fails) — the backlog is ZERO.
-# The round-11 curated head: the six rows-only queries (no oracle → the
-# driver records only that they ran; that weak signal is re-earned
-# EVERY round, since a no-correctness-signal row never marks a query
-# verified — ADVICE r3), the round-11 additions, and the REVERIFY
-# names rewritten after their green rows: 19 names, leaving ~31
-# surplus window slots that auto-fill with the STALEST-verified names —
-# regression detection. tests/test_units.py::
+# round. The cumulative union of CORRECTNESS_r01-r11 covers ALL
+# oracle-gated queries green with zero never-verified names (r11: 44
+# full green, the one red row being the rows-only rate-source gate —
+# fixed this round) — the backlog is ZERO and REVERIFY drained with it.
+# The round-12 curated head is therefore MINIMAL: just the six
+# rows-only queries (no oracle → the driver records only that they
+# ran; that weak signal is re-earned EVERY round, since a
+# no-correctness-signal row never marks a query verified — ADVICE r3),
+# leaving ~44 surplus window slots that auto-fill with the
+# STALEST-verified names — regression detection. tests/test_units.py::
 # test_registry_priority_rotation enforces the window invariants.
 PRIORITY_QUERIES = (
     # rows-only queries: no oracle exists, so verification never sticks —

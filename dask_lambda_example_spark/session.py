@@ -49,13 +49,17 @@ def _xlog_submit_args(submit_args: str, opts: str) -> str:
     matched — ``--driver-java-options VALUE`` and
     ``--driver-java-options=VALUE`` (ADVICE r11: the equals form used
     to slip past the regex, prepend a second occurrence, and silently
-    lose the -Xlog routing to whichever occurrence came last)."""
-    m = re.search(
+    lose the -Xlog routing to whichever occurrence came last).
+    With MULTIPLE existing occurrences the merge targets the LAST one —
+    the only one spark-submit keeps (round-12 review: merging into the
+    first would hand the routing to a discarded occurrence)."""
+    matches = list(re.finditer(
         r'--driver-java-options(?:\s+|=)(")([^"]*)(")'
         r"|--driver-java-options(?:\s+|=)(')([^']*)(')"
-        r"|--driver-java-options(?:\s+|=)()([^\s'\"]+)()", submit_args)
-    if not m:
+        r"|--driver-java-options(?:\s+|=)()([^\s'\"]+)()", submit_args))
+    if not matches:
         return f'--driver-java-options "{opts}" {submit_args}'
+    m = matches[-1]
     quote, val = next(
         (m.group(i), m.group(i + 1))
         for i in (1, 4, 7) if m.group(i) is not None)

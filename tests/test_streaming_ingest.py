@@ -322,13 +322,21 @@ def test_rows_only_gates_under_load(spark, sf_dir):
     assert "stream_rate_source_smoke" in rows_only
 
     stop = threading.Event()
+    loader_errors: list[BaseException] = []
 
     def saturate():
-        # waves of 64 ~0.5 s tasks: cores stay busy, slots free often
+        # waves of 64 ~0.5 s tasks: cores stay busy, slots free often.
+        # Exceptions are RECORDED, not swallowed — a loader that died
+        # on its first wave would silently turn this into an unloaded
+        # run that verifies nothing (round-12 review).
         while not stop.is_set():
-            (spark.range(0, 64 * 400_000, 1, 64)
-             .selectExpr("sha2(cast(id AS string), 256) AS h")
-             .agg(F.count("h")).collect())
+            try:
+                (spark.range(0, 64 * 400_000, 1, 64)
+                 .selectExpr("sha2(cast(id AS string), 256) AS h")
+                 .agg(F.count("h")).collect())
+            except BaseException as ex:  # noqa: BLE001
+                loader_errors.append(ex)
+                return
 
     loader = threading.Thread(target=saturate, daemon=True)
     loader.start()
@@ -336,6 +344,11 @@ def test_rows_only_gates_under_load(spark, sf_dir):
         for name in rows_only:
             df = QUERIES[name].fn(spark, sf_dir)
             assert df.count() >= 0, name
+        # the load must have survived the whole pass — a dead loader
+        # means the gates ran on an idle scheduler
+        assert loader.is_alive(), f"load thread died: {loader_errors}"
     finally:
         stop.set()
         loader.join(timeout=120)
+    assert not loader.is_alive(), "load thread failed to stop"
+    assert not loader_errors, loader_errors

@@ -1674,3 +1674,21 @@ def test_xlog_submit_args_merge():
         '--driver-java-options="-Xms2g -Xss4m" pyspark-shell', opts) == (
         '--driver-java-options "-Xlog:disable -Xlog:all=warning:stderr -Xms2g -Xss4m" '
         'pyspark-shell')
+
+
+def test_xlog_submit_args_merges_last_occurrence():
+    # spark-submit keeps only the LAST --driver-java-options, so with
+    # duplicate occurrences the -Xlog routing must merge into the last
+    # one — merging into the first hands it to a discarded occurrence
+    # (round-12 review).
+    from dask_lambda_example_spark.session import (
+        XLOG_STDERR_OPTS,
+        _xlog_submit_args,
+    )
+
+    out = _xlog_submit_args(
+        "--driver-java-options -Xms2g "
+        "--driver-java-options -Xmx4g pyspark-shell", XLOG_STDERR_OPTS)
+    assert out == (
+        "--driver-java-options -Xms2g "
+        f'--driver-java-options "{XLOG_STDERR_OPTS} -Xmx4g" pyspark-shell')

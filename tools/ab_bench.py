@@ -103,9 +103,26 @@ class _Worker:
         self.worker_py = worker_py
         self.extra_env = dict(extra_env or {})
         self.restarts = 0
+        # query name the restart happened before — rows from there on
+        # pair a fresh JVM against a session-warm one, the exact
+        # asymmetry the fresh-pairs protocol exists to isolate; the
+        # artifact must say where that regime starts (round-12 review)
+        self.restarted_before: str | None = None
+        self.proc = None
+        self.log = None
         self._spawn()
 
     def _spawn(self) -> None:
+        if self.proc is not None:
+            # reap the dead worker (and kill the rare EOF-but-alive
+            # one) before its replacement competes for the same cores
+            try:
+                self.proc.kill()
+            except Exception:  # noqa: BLE001
+                pass
+            self.proc.wait(timeout=30)
+        if self.log is not None:
+            self.log.close()
         self.log = open(f"/tmp/ab_bench_{self.tag}.stderr", "a")
         env = dict(os.environ, **self.extra_env)
         self.proc = subprocess.Popen(
@@ -123,19 +140,23 @@ class _Worker:
         # sweep to one-sided timings (ADVICE r11); a second death is
         # recorded per-row and surfaced in the summary doc
         for attempt in (0, 1):
+            pipe_err = ""
             try:
                 self.proc.stdin.write(name + "\n")
                 self.proc.stdin.flush()
                 line = self.proc.stdout.readline()
             except (BrokenPipeError, OSError) as ex:
                 line = ""
+                pipe_err = f"; pipe: {ex}"
             if line:
                 return json.loads(line)
             rc = self.proc.poll()
             if attempt == 0 and self.restarts == 0:
                 self.restarts += 1
-                print(f"AB WARN {self.tag} worker died (exit={rc}); "
-                      f"restarting once", file=sys.stderr, flush=True)
+                self.restarted_before = name
+                print(f"AB WARN {self.tag} worker died (exit={rc}"
+                      f"{pipe_err}); restarting once",
+                      file=sys.stderr, flush=True)
                 try:
                     self._spawn()
                     continue
@@ -143,7 +164,7 @@ class _Worker:
                     return {"name": name,
                             "error": f"worker restart failed: {ex}"}
             return {"name": name,
-                    "error": (f"worker died (exit={rc}); see "
+                    "error": (f"worker died (exit={rc}{pipe_err}); see "
                               f"/tmp/ab_bench_{self.tag}.stderr")}
         return {"name": name, "error": "unreachable"}
 
@@ -237,6 +258,11 @@ def main() -> int:
         "env_current": env_cur or None,
         "env_baseline": env_base or None,
         "worker_restarts": {"current": a.restarts, "baseline": b.restarts},
+        # rows from this query onward pair a restarted (fresh) JVM
+        # against a session-warm one — cross-side state asymmetry;
+        # null = no restart on that side
+        "restarted_before_query": {"current": a.restarted_before,
+                                   "baseline": b.restarted_before},
         "n_missing_ratios": len(missing),
         "missing_ratio_queries": missing,
         "aborted_sides": dead_sides,
