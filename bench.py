@@ -68,41 +68,88 @@ def main() -> None:
         "win_rank_dense_ntile": "win_rank_auto",
         "agg_percentile_exact": "agg_percentile_auto",
     }
-    missing_twins = (set(naive_twins) | set(naive_twins.values())) - set(QUERIES)
-    assert not missing_twins, f"naive-cap names drifted: {missing_twins}"
-    naive_cap = float(os.environ.get("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "1"))
+    # Output-bound physics queries under the same cost policy (VERDICT
+    # r12 item 4): the stream-stream pair's walls are state×output
+    # volume, not plan quality (r10 constant-density study: throughput
+    # RISES with tier, state linear), and at sf10 they were 26% of the
+    # capped battery (396 + 295 s). Above the cap tier they are priced
+    # ONCE per round in GROWTH_r13_stream_cost.json instead of
+    # re-measured every battery; SPARK_GRAFT_BENCH_ONLY bypasses.
+    output_bound = {"stream_stream_join", "stream_stream_left_outer"}
+    missing_twins = ((set(naive_twins) | set(naive_twins.values())
+                      | output_bound) - set(QUERIES))
+    if missing_twins:  # explicit raise: an assert is stripped under -O
+        raise RuntimeError(f"naive-cap names drifted: {missing_twins}")
+    try:
+        naive_cap = float(
+            os.environ.get("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "1"))
+    except ValueError:
+        # a malformed env var must not kill the whole battery before
+        # any query runs (round-12 review)
+        naive_cap = 1.0
+        print("BENCH WARN unparseable SPARK_GRAFT_BENCH_NAIVE_SF_CAP="
+              f"{os.environ['SPARK_GRAFT_BENCH_NAIVE_SF_CAP']!r} — "
+              f"using default {naive_cap}", file=sys.stderr)
     naive_capped: list[str] = []
+    naive_cap_disabled = False
     try:
         sf_num = float(sf)
     except ValueError:
-        # an unparseable sf dir silently disables the cap — say so, or
-        # a big-tier run in a custom-named dir re-prices the naive
-        # twins with a ledger that looks like an intentional sub-cap
-        # run (round-12 review)
+        # an unparseable sf dir silently disables the cap — say so in
+        # the JSON line too, or a big-tier run in a custom-named dir
+        # re-prices the naive twins with a ledger indistinguishable
+        # from an intentional sub-cap run (round-12 review)
         sf_num = 0.0
+        naive_cap_disabled = True
         print(f"BENCH WARN sf unparseable from {sf_dir!r} — "
               f"naive-twin cap DISABLED for this run", file=sys.stderr)
+    cost_capped: list[str] = []
     if not only and sf_num > naive_cap:
         naive_capped = sorted(n for n in names if n in naive_twins)
-        names = [n for n in names if n not in naive_twins]
+        cost_capped = sorted(n for n in names if n in output_bound)
+        names = [n for n in names
+                 if n not in naive_twins and n not in output_bound]
+
+    # Best-of-N reps per query (default 1 — the battery protocol is
+    # unchanged). The bench-gate's fresh-session re-probe sets 3: a
+    # single isolated run charges cold-JVM/codegen warm-up to the one
+    # query measured, which the in-battery baseline it is compared
+    # against amortized across hundreds of queries — best-of is the
+    # same drift-cancelling protocol tools/ab_bench.py uses.
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    except ValueError:
+        reps = 1
+        print("BENCH WARN unparseable SPARK_GRAFT_BENCH_REPS="
+              f"{os.environ['SPARK_GRAFT_BENCH_REPS']!r} — using 1",
+              file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
-        df = None
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            if sink == "noop":
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.collect()
-            times[name] = round(time.perf_counter() - t0, 4)
+        walls: list[float] = []
+        for _ in range(reps):
+            df = None
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                if sink == "noop":
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.collect()
+                walls.append(time.perf_counter() - t0)
+            except Exception as exc:  # record failures, don't kill the run
+                walls = []
+                print(f"BENCH FAIL {name}: {exc}", file=sys.stderr,
+                      flush=True)
+                break
+        if walls:
+            times[name] = round(min(walls), 4)
             # progress line per query so a stalled run is attributable
-            print(f"BENCH OK {name} {times[name]}", file=sys.stderr, flush=True)
-        except Exception as exc:  # record failures, don't kill the run
+            print(f"BENCH OK {name} {times[name]}", file=sys.stderr,
+                  flush=True)
+        else:
             times[name] = -1.0
-            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr, flush=True)
         # Harness hygiene, OUTSIDE the timed region: a multi-hundred-query
         # session accumulates JVM garbage (collect buffers, finished-plan
         # state) faster than G1 reclaims it under a big heap, and
@@ -136,11 +183,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     n_days = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DAYS", "100"))
-    t0 = time.perf_counter()
-    ts = timeseries(spark, n_days=n_days)
-    (ts.groupBy("name").agg(F.avg("y").alias("y"))
-       .agg(F.stddev_samp("y")).collect())
-    flagship_s = time.perf_counter() - t0
+    flagship_s = None
+    for _ in range(reps):  # best-of, same protocol as the query loop
+        t0 = time.perf_counter()
+        ts = timeseries(spark, n_days=n_days)
+        (ts.groupBy("name").agg(F.avg("y").alias("y"))
+           .agg(F.stddev_samp("y")).collect())
+        wall = time.perf_counter() - t0
+        flagship_s = wall if flagship_s is None else min(flagship_s, wall)
     flagship_rows = n_days * 86_400
 
     print(json.dumps({
@@ -161,6 +211,10 @@ def main() -> None:
         # above); their big-tier walls are in GROWTH_r12_naive_twins.json
         "naive_capped": naive_capped,
         "naive_sf_cap": naive_cap,
+        "naive_cap_disabled": naive_cap_disabled,
+        # output-bound physics queries skipped past the cap tier (see
+        # output_bound above); priced once in GROWTH_r13_stream_cost.json
+        "cost_capped": cost_capped,
         "flagship_synth_rows": flagship_rows,
         "flagship_synth_sec": round(flagship_s, 4),
         "flagship_rows_per_sec": round(flagship_rows / flagship_s),

@@ -87,18 +87,29 @@ EDGE_BUILD_ROWS_PER_PART = 500_000
 def _edge_ckpt_level(e_bound: int):
     """Storage level for a materialized edge list of ``e_bound`` row
     bound: ``None`` (Spark's memory-and-disk default) while the edges
-    are broadcast-plan material, ``DISK_ONLY`` above the dispatch
-    bound. Round-11, measured twice at sf10 under the 16 g production
-    heap: a 100 M-row edge checkpoint held as memory blocks competes
-    with the query's own unroll/shuffle memory and — standalone-green
-    notwithstanding — OOM'd the SparkContext mid-battery; disk-backed
-    blocks cost PR_ITERS sequential re-reads of a list that was going
-    to spill anyway and remove the failure mode entirely. At cluster
-    scale this is the same judgement: a multi-TB edge list is disk/
-    shuffle-tier data, never executor-storage-tier."""
+    are broadcast-plan material, ``MEMORY_AND_DISK`` (serialized — PySpark 4's
+    default-serialized level; the deserialized variant is the separate
+    ``MEMORY_AND_DISK_DESER``) above the
+    dispatch bound. Round-11, measured twice at sf10 under the 16 g
+    production heap: a 100 M-row edge checkpoint held as
+    memory-greedy blocks competes with the query's own unroll/shuffle
+    memory and — standalone-green notwithstanding — OOM'd the
+    SparkContext mid-battery; round 11 priced that guard as straight
+    ``DISK_ONLY``, which cost PR_ITERS sequential re-reads of blocks a
+    healthy session could have kept resident (the 1.454x paired rcte
+    trade, VERDICT r12 item 3). ``MEMORY_AND_DISK`` keeps the OOM
+    guard — blocks spill to disk under storage pressure instead of
+    pinning the heap, and the serialized form keeps the resident
+    footprint far below deserialized caching — while letting an idle 16 g
+    session serve the recursion levels from memory
+    (BENCH_ab_rcte_r13.json pairs it against the r9/DISK_ONLY forms;
+    the r9-failure shape — four consecutive 100 M-edge graph queries
+    at sf10/16 g — re-run green). At cluster scale the judgement is
+    unchanged: a multi-TB edge list is spill-tier data, never
+    PINNED executor-storage-tier."""
     from pyspark import StorageLevel
 
-    return (StorageLevel.DISK_ONLY
+    return (StorageLevel.MEMORY_AND_DISK
             if e_bound > PR_BROADCAST_MAX_EDGE_ROWS else None)
 
 
@@ -227,8 +238,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16 g-heap hazard class of SCALE.md's partition-width rule),
     and the |nodes|-sized node set is checkpointed so the loop never
     re-aggregates the full edge list to re-derive it; above the
-    dispatch edge bound the edge blocks are DISK_ONLY
-    (``_edge_ckpt_level``)."""
+    dispatch edge bound the edge blocks persist serialized
+    memory-and-disk (``_edge_ckpt_level``)."""
     from dask_lambda_example_spark.io import parquet_rowcount
 
     spark = spark.newSession()
@@ -448,8 +459,8 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge build shared with the PageRank family (round-11: this query
     # had kept a private copy of the PRE-fix build and would have hit
     # the same sf10/16g dedup-aggregate OOM _trade_pairs already
-    # guards); checkpoint blocks go DISK_ONLY above the dispatch edge
-    # bound like the rest of the family.
+    # guards); checkpoint blocks go serialized memory-and-disk above
+    # the dispatch edge bound like the rest of the family.
     from dask_lambda_example_spark.io import parquet_rowcount
 
     e_bound = 2 * parquet_rowcount(sf_dir, "lineitem")

@@ -87,6 +87,11 @@ PRIORITY_QUERIES = (
     # loaded driver host too.
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
+    # r13 additions (never driver-verified yet — VERDICT r12 items 5/6):
+    # incremental IVF-PQ ingest + its post-ingest recall sign-off, and
+    # cross-document duplicated-substring spans. All three oracle-gated.
+    "sim_ivf_incremental_ingest", "sim_ivf_incremental_recall",
+    "dedup_substring_spans",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -106,6 +111,7 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
+    "CORRECTNESS_r12.json",
 )
 
 # Names whose implementation changed materially after their last green

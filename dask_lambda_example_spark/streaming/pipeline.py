@@ -22,6 +22,7 @@ S3, Redshift, etc" (``layer/python/dask_processing.py:26-27``).
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from contextlib import contextmanager
 
@@ -472,8 +473,16 @@ def _await_first_rows(q, deadline_s: float | None = None,
     clock = _clock or _time.time
     sleep = _sleep or _time.sleep
     if deadline_s is None:
-        deadline_s = float(
-            os.environ.get("SPARK_GRAFT_STREAM_FIRST_BATCH_S", "90"))
+        raw = os.environ.get("SPARK_GRAFT_STREAM_FIRST_BATCH_S", "90")
+        try:
+            deadline_s = float(raw)
+        except ValueError:
+            # a typo'd env override must degrade to the default, not
+            # fail the rate-source gate outright (round-12 review)
+            deadline_s = 90.0
+            print(f"STREAM WARN unparseable "
+                  f"SPARK_GRAFT_STREAM_FIRST_BATCH_S={raw!r} — "
+                  f"using {deadline_s}", file=sys.stderr)
     deadline = clock() + deadline_s
     while True:
         if any(p["numInputRows"] > 0 for p in q.recentProgress):

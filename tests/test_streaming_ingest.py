@@ -297,6 +297,13 @@ def test_await_first_rows_slow_batch():
         q = FakeQuery(lands_at=50.0, clock=clk)
         assert _await_first_rows(q, _clock=clk.time,
                                  _sleep=clk.sleep) is False
+        # a typo'd env value must degrade to the 90 s default instead
+        # of raising before the gate can poll (round-12 review)
+        os.environ["SPARK_GRAFT_STREAM_FIRST_BATCH_S"] = "ninety"
+        clk = FakeClock()
+        q = FakeQuery(lands_at=60.0, clock=clk)
+        assert _await_first_rows(q, _clock=clk.time,
+                                 _sleep=clk.sleep) is True
     finally:
         if old is None:
             del os.environ["SPARK_GRAFT_STREAM_FIRST_BATCH_S"]

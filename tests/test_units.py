@@ -1125,92 +1125,131 @@ def test_minhash_checkpoint_knob(spark, sf_dir, tmp_path, monkeypatch):
                for f in os.listdir(tmp_path / written[0]))
 
 
+def _bench_gate_mod():
+    import pathlib
+    import sys
+
+    tools = str(pathlib.Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import bench_gate
+    return bench_gate
+
+
 def test_bench_regression_gate():
     # plan-pathology tripwire: any query >3x slower than the previous
-    # committed round's bench (well above the documented ±45% noise
-    # band) fails here instead of waiting for a manual bench read —
-    # the round-2 40x sketch-gate slowdown is the motivating case.
-    import json
+    # committed round's bench fails here instead of waiting for a
+    # manual bench read — the round-2 40x sketch-gate slowdown is the
+    # motivating case.  Host-weather-robust since round 13 (VERDICT
+    # r12 item 1: the r11->r12 driver pair was UNIFORMLY ~1.36x from
+    # driver-host load and tripped the raw bar): per-query ratios are
+    # judged against 3x * the battery-wide median ratio, and anything
+    # still flagged is re-measured isolated in a fresh session
+    # (SPARK_GRAFT_BENCH_ONLY) and fails only on a RAW-bar-confirmed
+    # isolated wall.  The re-probe is cached in BENCH_reprobe_gate.json
+    # keyed on the artifact bytes, so the suite stays fast until the
+    # driver drops a new pair.  The 3x bar itself is UNCHANGED.
     import pathlib
 
-    import re
-
+    bench_gate = _bench_gate_mod()
     repo = pathlib.Path(__file__).resolve().parent.parent
     # driver round artifacts ONLY (zero-padded two-digit round). Any
     # looser glob re-admits the r7/r8 collision class where a manually
-    # committed tiers artifact (e.g. BENCH_r8_ngram_tiers.json) sorts
-    # last and crashes the gate — growth/tier summaries now live under
-    # GROWTH_*.json / .localdata/ instead (VERDICT r8 item 1).
+    # committed tiers artifact sorts last and crashes the gate —
+    # growth/tier summaries live under GROWTH_*.json instead.
     arts = sorted(repo.glob("BENCH_r[0-9][0-9].json"))
     if len(arts) < 2:
         pytest.skip("fewer than two committed bench artifacts")
+    report = bench_gate.evaluate(arts[-2], arts[-1])
+    if report["skip"]:
+        pytest.skip(report["skip"])
+    assert not report["failed"], (
+        f"queries failing in {arts[-1].name}: {report['failed']}")
+    assert not report["confirmed"], (
+        f"isolated-confirmed regressions between {arts[-2].name} and "
+        f"{arts[-1].name} (median weather {report['median']:.2f}x): "
+        f"{report['confirmed']}")
 
-    def timings(art: pathlib.Path) -> tuple[str | None, dict[str, float]]:
-        # the driver artifact keeps only the TAIL of the bench JSON line
-        # (front-truncated), so recover per-query times by scanning
-        # "name": seconds pairs inside the queries object — everything
-        # before the closing `}, "sink_mode":` / `}, "sf":` belongs to
-        # it. Sink mode: bench.py ≥r6 duplicates it AFTER the queries
-        # object ("sink_mode") precisely so truncation can't eat it
-        # (ADVICE r5); fall back to the pre-queries "sink" key for runs
-        # that kept the whole line.
-        doc = json.loads(art.read_text())
-        if isinstance(doc.get("parsed"), dict):
-            p = doc["parsed"]
-            return p.get("sink_mode", p.get("sink")), p["queries"]
-        sink_m = (re.search(r'"sink_mode":\s*\\?"(\w+)', doc["tail"])
-                  or re.search(r'"sink":\s*\\?"(\w+)', doc["tail"]))
-        tail = re.split(r'}, "(?:sink_mode|sf)":', doc["tail"])[0]
-        return (sink_m.group(1) if sink_m else None,
-                {m.group(1): float(m.group(2)) for m in re.finditer(
-                    r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)})
 
-    prev_art, cur_art = arts[-2], arts[-1]
-    prev_sink, prev = timings(prev_art)
-    cur_sink, cur = timings(cur_art)
-    # collect-sink vs noop-sink rounds are not comparable: a sink switch
-    # would read as a spurious >3x "regression" (or mask a real one).
-    # Pre-r6 driver artifacts lost the sink field to tail truncation;
-    # both-unknown pairs are driver runs of the SAME harness (the driver
-    # never sets the sink env), so they remain comparable — but when
-    # exactly one side is unrecoverable, skip rather than guess
-    # (ADVICE r5: defaulting to collect re-admitted the spurious delta).
-    if (prev_sink is None) != (cur_sink is None):
-        pytest.skip(f"sink mode unrecoverable for one artifact: "
-                    f"{prev_art.name}={prev_sink!r} {cur_art.name}={cur_sink!r}")
-    if prev_sink != cur_sink:
-        pytest.skip(f"sink mismatch: {prev_sink!r} vs {cur_sink!r}")
-    # sub-second timings are dominated by per-query fixed cost (session
-    # scheduling, streaming micro-batch startup); only flag regressions
-    # that are both >3x and land above 1.5s — a real plan pathology at
-    # sf0.1 clears both bars easily (40x took 3s -> 86s)
-    bad = {
-        n: (prev[n], cur[n])
-        for n in prev.keys() & cur.keys()
-        if prev[n] > 0 and cur[n] > max(3 * prev[n], 1.5)
-    }
-    assert not bad, (
-        f"queries regressed >3x between {prev_art.name} and "
-        f"{cur_art.name}: {bad}")
-    failed = [n for n, t in cur.items() if t < 0]
-    assert not failed, f"queries failing in {cur_art.name}: {failed}"
+def test_bench_gate_weather_normalization(tmp_path):
+    # replay of EXACTLY the round-12 failure mode: a uniformly slow
+    # driver run (median 1.36x) pushes two queries past the raw 3x bar
+    # (3.02x / 3.78x) — the normalized bar must clear both WITHOUT a
+    # re-probe, while a genuine 40x pathology on the same weather still
+    # flags (and fails when the isolated re-probe confirms it).
+    import json
 
-    # tighter 2x gate for the FLAGSHIP metric specifically (VERDICT r4:
-    # the r3->r4 2.14x flagship delta sat under the 3x gate; recurrence
-    # must trip). The 1.0s floor keeps sub-second scheduling noise out.
-    def flagship(art: pathlib.Path) -> float | None:
-        doc = json.loads(art.read_text())
-        if isinstance(doc.get("parsed"), dict):
-            return doc["parsed"].get("flagship_synth_sec")
-        m = re.search(r'"flagship_synth_sec\\?":\s*(\d+(?:\.\d+)?)',
-                      doc["tail"])
-        return float(m.group(1)) if m else None
+    bench_gate = _bench_gate_mod()
 
-    f_prev, f_cur = flagship(prev_art), flagship(cur_art)
-    if f_prev and f_cur:
-        assert f_cur <= max(2 * f_prev, 1.0), (
-            f"flagship regressed >2x: {f_prev}s -> {f_cur}s "
-            f"({prev_art.name} -> {cur_art.name})")
+    def art(path, queries, flagship):
+        path.write_text(json.dumps({"parsed": {
+            "sink_mode": "collect", "queries": queries,
+            "flagship_synth_sec": flagship}}))
+        return path
+
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    prev.update(win_lag=0.9226, ts_subseq=0.6898, patho=3.0)
+    cur = {f"q{i}": 1.36 for i in range(20)}  # uniform host weather
+    cur.update(win_lag=2.7821, ts_subseq=2.6069, patho=3.2)
+    a = art(tmp_path / "BENCH_r88.json", prev, 0.6665)
+    b = art(tmp_path / "BENCH_r89.json", cur, 0.9)
+    report = bench_gate.evaluate(a, b, reprobe=lambda *a_: (_ for _ in ())
+                                 .throw(AssertionError("re-probe called")))
+    assert 1.3 < report["median"] < 1.4
+    assert not report["flagged"] and not report["confirmed"]
+
+    # same weather, but one query is a REAL 40x plan pathology: it must
+    # flag, and with an isolated re-probe that CONFIRMS the slowness it
+    # must land in confirmed
+    cur_bad = dict(cur, patho=120.0)
+    b2 = art(tmp_path / "BENCH_r90.json", cur_bad, 0.9)
+    fake = {"called": 0}
+
+    def reprobe_confirm(prev_art, cur_art, names):
+        fake["called"] += 1
+        return {"isolated": {n: 118.0 for n in names}}
+
+    report2 = bench_gate.evaluate(a, b2, reprobe=reprobe_confirm)
+    assert report2["flagged"] == {"patho": (3.0, 120.0)}
+    assert fake["called"] == 1
+    assert report2["confirmed"] == {"patho": (3.0, 118.0)}
+
+    # ... and when the isolated re-probe shows the flag was session/
+    # weather contamination (isolated wall back at parity), it clears
+    def reprobe_clear(prev_art, cur_art, names):
+        return {"isolated": {n: 3.1 for n in names}}
+
+    report3 = bench_gate.evaluate(a, b2, reprobe=reprobe_clear)
+    assert report3["flagged"] and not report3["confirmed"]
+
+
+def test_bench_gate_flagship_normalized(tmp_path):
+    # the r12 flagship (0.6665 -> 3.3261s, 5x raw / 3.7x normalized)
+    # must reach the re-probe stage and clear on an isolated wall at
+    # parity — and a confirmed isolated flagship regression must fail
+    import json
+
+    bench_gate = _bench_gate_mod()
+
+    def art(path, queries, flagship):
+        path.write_text(json.dumps({"parsed": {
+            "sink_mode": "collect", "queries": queries,
+            "flagship_synth_sec": flagship}}))
+        return path
+
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {f"q{i}": 1.36 for i in range(10)}
+    a = art(tmp_path / "BENCH_r88.json", prev, 0.6665)
+    b = art(tmp_path / "BENCH_r89.json", cur, 3.3261)
+
+    key = bench_gate.FLAGSHIP_KEY
+    r = bench_gate.evaluate(
+        a, b, reprobe=lambda *_: {"isolated": {key: 0.71}})
+    assert r["flagship_flagged"] and not r["confirmed"]
+
+    r2 = bench_gate.evaluate(
+        a, b, reprobe=lambda *_: {"isolated": {key: 3.2}})
+    assert r2["confirmed"] == {key: (0.6665, 3.2)}
 
 
 def test_adaptive_extra_bits_pins_bucket_size():
@@ -1692,3 +1731,50 @@ def test_xlog_submit_args_merges_last_occurrence():
     assert out == (
         "--driver-java-options -Xms2g "
         f'--driver-java-options "{XLOG_STDERR_OPTS} -Xmx4g" pyspark-shell')
+
+
+def test_ivf_incremental_ingest_invariants(spark, sf_dir):
+    """VERDICT r12 item 5: the ingest must emit EXACTLY the batch
+    (every vec_id % INGEST_MOD == INGEST_REM, once), assign each to a
+    cell from the corpus label domain, and encode codes inside the PQ
+    domain — and, being deterministic given the frozen index, repeat
+    bit-identically."""
+    from dask_lambda_example_spark.operators.similarity import (
+        INGEST_MOD, INGEST_REM, PQ_K, PQ_M)
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["sim_ivf_incremental_ingest"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch_ids = {r.vec_id for r in emb.select("vec_id").collect()
+                 if r.vec_id % INGEST_MOD == INGEST_REM}
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.vec_id for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    assert all(r.cell in labels for r in rows)
+    for r in rows:
+        codes = [int(c) for c in r.codes_str.split("-")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
+    again = QUERIES["sim_ivf_incremental_ingest"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_ivf_incremental_recall_parity(spark, sf_dir):
+    """The post-ingest multiprobe search must not degrade recall vs
+    the non-incremental multiprobe index at the same tier (the frozen
+    corpus-only centroids shift assignments slightly; measured at
+    sf0.001 the incremental index is 0.333 vs 0.317 — on par). Floor
+    is the measured multiprobe mean minus a 0.15 noise band."""
+    from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+
+    def mean_recall(name: str) -> float:
+        rows = QUERIES[name].fn(spark, sf_dir).collect()
+        assert rows, f"{name} returned no probes"
+        return sum(r.recall_at_k for r in rows) / len(rows)
+
+    incr = mean_recall("sim_ivf_incremental_recall")
+    base = mean_recall("sim_ivf_recall_multiprobe")
+    assert incr >= base - 0.15, (incr, base)

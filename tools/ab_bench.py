@@ -90,7 +90,14 @@ def _worst_common_names(n: int, cur_file: str, base_file: str) -> list[str]:
 def _parse_env(spec: str | None) -> dict[str, str]:
     if not spec:
         return {}
-    return dict(kv.split("=", 1) for kv in spec.split(",") if "=" in kv)
+    # a typo'd entry ('KEY:VALUE') silently dropped would turn an
+    # intended heap-axis A/B into a same-config comparison, detectable
+    # only by reading env_current/env_baseline in the artifact — fail
+    # loudly instead (round-12 review)
+    bad = [kv for kv in spec.split(",") if kv and "=" not in kv]
+    if bad:
+        raise ValueError(f"--env-* entries without '=': {bad}")
+    return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
 
 
 class _Worker:
@@ -149,7 +156,15 @@ class _Worker:
                 line = ""
                 pipe_err = f"; pipe: {ex}"
             if line:
-                return json.loads(line)
+                # a worker dying MID-write emits a truncated JSON line;
+                # crashing the sweep here would lose every accumulated
+                # pair — treat it exactly like an EOF (restart once,
+                # else a per-row error) (round-12 review)
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError as ex:
+                    pipe_err = f"; truncated reply: {ex}"
+                    line = ""
             rc = self.proc.poll()
             if attempt == 0 and self.restarts == 0:
                 self.restarts += 1
