@@ -850,3 +850,34 @@ def test_ivfpq_scan_is_all_equijoins(spark, sf_dir):
     plan = physical_plan(df)
     bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
     assert all("Cross" in b for b in bnlj) and len(bnlj) <= 2, bnlj
+
+
+def test_substring_spans_is_gram_equijoin(spark, sf_dir):
+    # both the anchor candidate join and the extension join must be
+    # plain equi-joins on the gram (plus the candidate-diagonal key) —
+    # never a cartesian product, never a nested-loop join: the df-cap
+    # bounds per-gram fan-out only if the join stays keyed (round-13,
+    # VERDICT r12 item 6)
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["dedup_substring_spans"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
+def test_ivf_incremental_ingest_broadcasts_index(spark, sf_dir):
+    # the frozen index tables (centroids, norms, PQ grid) must reach
+    # the batch as BROADCAST relations — the corpus is never shuffled
+    # against the batch (round-13, VERDICT r12 item 5); the only
+    # allowed non-broadcast join key is the |batch|-sized vec_id
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_ivf_incremental_ingest"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
+    # exactly ONE nested-loop join is the intended plan: the PQ encode
+    # crossJoins the broadcast 1-ROW grid frame (the _pq_coded
+    # discipline — a bounded broadcast cross, not a pair explosion);
+    # any second one would be a real join-degradation regression
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
