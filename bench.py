@@ -139,7 +139,10 @@ def main() -> None:
                     df.collect()
                 walls.append(time.perf_counter() - t0)
             except Exception as exc:  # record failures, don't kill the run
-                walls = []
+                # a failed rep doesn't discard EARLIER successful walls
+                # (round-13 review): best-of over the reps that ran is
+                # still a valid best-of; only an all-reps failure is a
+                # failed query
                 print(f"BENCH FAIL {name}: {exc}", file=sys.stderr,
                       flush=True)
                 break

@@ -1767,6 +1767,49 @@ def _ingest_is_batch() -> Column:
 _INGEST_BATCH_SQL = f"vec_id % {INGEST_MOD} = {INGEST_REM}"
 
 
+
+def _ingest_corpus_cells(corpus: DataFrame):
+    """(cen, cnorm): the frozen coarse index from the CORPUS only —
+    per-(label, pos) centroid values and per-label centroid norms.
+    Tiny (n_cells × dim and n_cells rows) → broadcast material."""
+    cexpl = corpus.select(
+        "label", F.posexplode("emb").alias("pos0", "val")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cen = cexpl.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cnorm = cen.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"))
+    return cen, cnorm
+
+
+def _ingest_assign_cells(vecs: DataFrame, cen: DataFrame,
+                         cnorm: DataFrame, n_cells: int) -> DataFrame:
+    """Top-``n_cells`` coarse-cell assignment by cosine against the
+    broadcast frozen centroids: (vec_id, label, ccos), ties broken by
+    label — the single assignment implementation shared by the ingest
+    and the post-ingest recall (round-13 review: it existed three
+    times). The norm table is |vecs|-sized and joins on vec_id WITHOUT
+    a broadcast hint: for a probe set it is tiny anyway (AQE
+    broadcasts it), for a 100 TB ingest batch it must never pin
+    executor memory — only the n_cells-sized index tables broadcast."""
+    vexpl = vecs.select(
+        "vec_id", F.posexplode("emb").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    vnorm = vexpl.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"))
+    vpc = (vexpl.join(F.broadcast(cen), "pos")
+           .groupBy("vec_id", "label")
+           .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+           .join(vnorm, "vec_id")
+           .join(F.broadcast(cnorm), "label")
+           .select("vec_id", "label",
+                   (F.col("dot") / (F.col("vn") * F.col("cn")))
+                    .alias("ccos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    return (vpc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_cells)
+            .select("vec_id", "label", "ccos"))
+
+
 def _ingest_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
@@ -1841,33 +1884,10 @@ def sim_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(~_ingest_is_batch())
     batch = e.filter(_ingest_is_batch())
 
-    cexpl = corpus.select(
-        "label", F.posexplode("emb").alias("pos0", "val")).select(
-        "label", (F.col("pos0") + 1).alias("pos"), "val")
-    cen = cexpl.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
-    cnorm = cen.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"))
-
-    bexpl = batch.select(
-        "vec_id", F.posexplode("emb").alias("pos0", "val")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    bnorm = bexpl.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("pn"))
-
-    pc = (bexpl.join(F.broadcast(cen), "pos")
-          .groupBy("vec_id", "label")
-          .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
-          .join(F.broadcast(bnorm), "vec_id")
-          .join(F.broadcast(cnorm), "label")
-          .select("vec_id", "label",
-                  (F.col("dot") / (F.col("pn") * F.col("cn")))
-                   .alias("ccos")))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("label"))
-    assigned = (pc.withColumn("rn", F.row_number().over(wassign))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", F.col("label").alias("cell"),
-                        F.round("ccos", 6).alias("ccos")))
+    cen, cnorm = _ingest_corpus_cells(corpus)
+    assigned = _ingest_assign_cells(batch, cen, cnorm, 1).select(
+        "vec_id", F.col("label").alias("cell"),
+        F.round("ccos", 6).alias("ccos"))
 
     # Saturating encode: the frozen grid was trained on the corpus, so
     # an out-of-distribution batch value can fall OUTSIDE [min, max] —
@@ -2004,32 +2024,11 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(~_ingest_is_batch())
     batch = e.filter(_ingest_is_batch())
 
-    cexpl = corpus.select(
-        "label", F.posexplode("emb").alias("pos0", "val")).select(
-        "label", (F.col("pos0") + 1).alias("pos"), "val")
-    cen = cexpl.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
-    cnorm = cen.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"))
+    cen, cnorm = _ingest_corpus_cells(corpus)
 
     def assign(vecs: DataFrame, n_cells: int) -> DataFrame:
-        vexpl = vecs.select(
-            "vec_id", F.posexplode("emb").alias("pos0", "val")).select(
-            "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-        vnorm = vexpl.groupBy("vec_id").agg(
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"))
-        vpc = (vexpl.join(F.broadcast(cen), "pos")
-               .groupBy("vec_id", "label")
-               .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
-               .join(F.broadcast(vnorm), "vec_id")
-               .join(F.broadcast(cnorm), "label")
-               .select("vec_id", "label",
-                       (F.col("dot") / (F.col("vn") * F.col("cn")))
-                        .alias("ccos")))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("ccos"), F.asc("label"))
-        return (vpc.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= n_cells)
-                .select("vec_id", "label"))
+        return _ingest_assign_cells(vecs, cen, cnorm, n_cells).select(
+            "vec_id", "label")
 
     ingested = assign(batch, 1)
     idx = corpus.select("vec_id", "label", "emb").unionAll(

@@ -1205,8 +1205,9 @@ def test_bench_gate_weather_normalization(tmp_path):
     b2 = art(tmp_path / "BENCH_r90.json", cur_bad, 0.9)
     fake = {"called": 0}
 
-    def reprobe_confirm(prev_art, cur_art, names):
+    def reprobe_confirm(prev_art, cur_art, names, **kw):
         fake["called"] += 1
+        assert kw.get("sink") == "collect"  # protocol pinned to the pair
         return {"isolated": {n: 118.0 for n in names}}
 
     report2 = bench_gate.evaluate(a, b2, reprobe=reprobe_confirm)
@@ -1216,11 +1217,20 @@ def test_bench_gate_weather_normalization(tmp_path):
 
     # ... and when the isolated re-probe shows the flag was session/
     # weather contamination (isolated wall back at parity), it clears
-    def reprobe_clear(prev_art, cur_art, names):
+    def reprobe_clear(prev_art, cur_art, names, **kw):
         return {"isolated": {n: 3.1 for n in names}}
 
     report3 = bench_gate.evaluate(a, b2, reprobe=reprobe_clear)
     assert report3["flagged"] and not report3["confirmed"]
+
+    # a flagged name whose isolated re-probe FAILS (-1.0: fresh-session
+    # crash, or renamed out of the registry) must CONFIRM, not clear —
+    # the -1.0 silent-pass hole (round-13 review)
+    def reprobe_dead(prev_art, cur_art, names, **kw):
+        return {"isolated": {n: -1.0 for n in names}}
+
+    report4 = bench_gate.evaluate(a, b2, reprobe=reprobe_dead)
+    assert report4["confirmed"] == {"patho": (3.0, -1.0)}
 
 
 def test_bench_gate_flagship_normalized(tmp_path):
@@ -1244,11 +1254,11 @@ def test_bench_gate_flagship_normalized(tmp_path):
 
     key = bench_gate.FLAGSHIP_KEY
     r = bench_gate.evaluate(
-        a, b, reprobe=lambda *_: {"isolated": {key: 0.71}})
+        a, b, reprobe=lambda *_, **k: {"isolated": {key: 0.71}})
     assert r["flagship_flagged"] and not r["confirmed"]
 
     r2 = bench_gate.evaluate(
-        a, b, reprobe=lambda *_: {"isolated": {key: 3.2}})
+        a, b, reprobe=lambda *_, **k: {"isolated": {key: 3.2}})
     assert r2["confirmed"] == {key: (0.6665, 3.2)}
 
 

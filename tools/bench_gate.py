@@ -125,12 +125,22 @@ def cached_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
 
 
 def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
-                names: set[str]) -> dict:
+                names: set[str], sink: str | None = None) -> dict:
     """Measure the flagged names in a FRESH interpreter/JVM via
-    bench.py's ``SPARK_GRAFT_BENCH_ONLY`` (collect sink, sf0.1 — the
-    driver's own protocol), write the cache artifact, return it.
-    bench.py always appends the flagship synth metric, so a flagged
-    flagship rides along for free (``FLAGSHIP_KEY`` slot)."""
+    bench.py's ``SPARK_GRAFT_BENCH_ONLY``, write the cache artifact,
+    return it.  The protocol is PINNED to the artifact pair's, not the
+    ambient environment (round-13 review): sink = the artifacts' own
+    sink mode (evaluate already guaranteed both sides match; None — a
+    pre-r6 truncated pair — replays the driver default, collect), tier
+    = the driver's sf0.1 regardless of any SPARK_GRAFT_SF_DIR a prior
+    tier run left exported.  bench.py always appends the flagship
+    synth metric, so a flagged flagship rides along for free
+    (``FLAGSHIP_KEY`` slot).  A name that no longer exists in the
+    registry (renamed/removed since the artifact) cannot be
+    re-measured: it is recorded as -1.0, which ``evaluate`` treats as
+    CONFIRMED — a loud failure beats a silent clear, and the cache
+    still covers the name so the suite doesn't re-spawn the probe
+    every run."""
     run_names = sorted(names - {FLAGSHIP_KEY})
     if not run_names:
         # flagship-only probe still needs ONE registered name so the
@@ -139,14 +149,15 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_ONLY=",".join(run_names),
-        SPARK_GRAFT_SF_DIR=os.environ.get(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
         # best-of-3: a single isolated run charges cold-JVM/codegen
         # warm-up to the one query measured, which the in-battery
         # baseline amortized across hundreds of queries
         SPARK_GRAFT_BENCH_REPS="3",
     )
-    env.pop("SPARK_GRAFT_BENCH_SINK", None)  # driver protocol: collect
+    env.pop("SPARK_GRAFT_BENCH_SINK", None)
+    if sink:
+        env["SPARK_GRAFT_BENCH_SINK"] = sink
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO),
@@ -157,8 +168,7 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
             f"{out.stderr[-2000:]}")
     line = out.stdout.strip().splitlines()[-1]
     bench = json.loads(line)
-    isolated = {n: bench["queries"][n] for n in run_names
-                if n in bench["queries"]}
+    isolated = {n: bench["queries"].get(n, -1.0) for n in run_names}
     isolated[FLAGSHIP_KEY] = bench["flagship_synth_sec"]
     doc = {
         "what": ("fresh-session isolated re-probe of bench-gate flagged "
@@ -205,12 +215,17 @@ def evaluate(prev_art: pathlib.Path, cur_art: pathlib.Path,
     if not need:
         return report
     cache = cached_reprobe(prev_art, cur_art, need) or reprobe(
-        prev_art, cur_art, need)
+        prev_art, cur_art, need, sink=cur_sink)
     iso = cache["isolated"]
+    # a flagged name whose isolated re-probe FAILED (-1.0: the query
+    # crashed fresh, or was renamed out of the registry) must CONFIRM,
+    # not silently clear (round-13 review) — the inline gate always
+    # failed on a -1.0 artifact entry and the re-probe path keeps that
     confirmed = {
         n: (flagged[n][0], iso[n])
         for n in flagged
-        if iso[n] > max(QUERY_FACTOR * flagged[n][0], QUERY_FLOOR_S)
+        if iso[n] < 0
+        or iso[n] > max(QUERY_FACTOR * flagged[n][0], QUERY_FLOOR_S)
     }
     if fs_flag and iso[FLAGSHIP_KEY] > max(
             FLAGSHIP_FACTOR * f_prev, FLAGSHIP_FLOOR_S):

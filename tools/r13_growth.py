@@ -46,9 +46,13 @@ def _timed_noop(spark, name: str, sf_dir: str) -> float:
 
 def main() -> int:
     mode = _arg("--mode")
-    assert mode in ("incr_ann", "substring"), mode
+    if mode not in ("incr_ann", "substring"):
+        raise SystemExit(f"--mode must be incr_ann|substring, got {mode!r}")
+    tiers_arg = _arg("--tiers")
+    if not tiers_arg:
+        raise SystemExit("--tiers name=dir[,name=dir...] is required")
     tiers = dict(kv.split("=", 1)
-                 for kv in _arg("--tiers").split(",") if "=" in kv)
+                 for kv in tiers_arg.split(",") if "=" in kv)
     out = _arg("--out")
     _ensure_loaded()
     spark = get_spark(f"r13-growth-{mode}")
@@ -66,8 +70,12 @@ def main() -> int:
                 .fn(spark, sf_dir).collect()
             rec["recall_wall_s"] = round(time.perf_counter() - t0, 4)
             rec["n_probes"] = len(rows)
-            rec["mean_recall_at_k"] = round(
+            # a tier with no probe ids (vec_id % 25 == 0 and < 2000)
+            # yields no rows — record null rather than dividing by zero
+            # after the timed walls were already paid
+            rec["mean_recall_at_k"] = (round(
                 sum(r.recall_at_k for r in rows) / len(rows), 4)
+                if rows else None)
         else:
             from pyspark.sql import functions as F
 
