@@ -1721,6 +1721,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP)
                      & (F.col("occ") <= SUBSTR_OCC_CAP))
              .select("g"))
+    # The capped gram table feeds five consumers (two anchor sides, two
+    # match sides, the candidate re-derivation) and the plan shows 8
+    # parquet scans with zero ReusedExchange — but pinning it via
+    # materialize() measured SLOWER on a single execution (round-13,
+    # same-session pairs: sf1 29.1 s vs 9.5 s lazy, sf10 66.8 s vs
+    # 40.6 s lazy): the explode is a cheap columnar projection that
+    # parallelizes perfectly, while the cache pays a full
+    # materialization barrier up front plus an InMemoryTableScan
+    # deserialization per consumer. Recompute wins; left lazy
+    # deliberately. (A REPEATED-execution context — interactive reuse —
+    # flips the trade: the cache-hit run was 8.2 s at sf10.)
     gk = g.join(keep, "g")
     anch = gk.filter(hex32(F.col("g")) % SUBSTR_ANCHOR_MOD == 0)
 
