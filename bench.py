@@ -23,6 +23,72 @@ from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded
 from dask_lambda_example_spark.session import get_spark
 
 
+
+# Labeled NAIVE siblings — queries kept registered and oracle-gated
+# purely as the measured comparison point for their scale-safe twin
+# + auto dispatcher (VERDICT r11 item 5). Above the cap tier they
+# are ~14% of the sf10 battery (587 s of 4266 s at r11) while every
+# user-facing path dispatches AWAY from them, so the full battery
+# skips them past SPARK_GRAFT_BENCH_NAIVE_SF_CAP (default sf1) and
+# their big-tier walls live in GROWTH_r12_naive_twins.json, measured
+# once, instead of re-priced every battery. SPARK_GRAFT_BENCH_ONLY
+# bypasses the cap (an explicit name ask is an explicit ask).
+NAIVE_TWINS = {
+    "graph_pagerank": "graph_pagerank_auto",
+    "graph_crawl_pagerank": "graph_crawl_pagerank_auto",
+    "win_rank_dense_ntile": "win_rank_auto",
+    "agg_percentile_exact": "agg_percentile_auto",
+}
+# Output-bound physics queries under the same cost policy (VERDICT
+# r12 item 4): the stream-stream pair's walls are state×output
+# volume, not plan quality (r10 constant-density study: throughput
+# RISES with tier, state linear), and at sf10 they were 26% of the
+# capped battery (396 + 295 s). Above the cap tier they are priced
+# ONCE per round in GROWTH_r13_stream_cost.json instead of
+# re-measured every battery; SPARK_GRAFT_BENCH_ONLY bypasses.
+OUTPUT_BOUND = {"stream_stream_join", "stream_stream_left_outer"}
+
+
+def plan_battery(names: list, only, sf: str, sf_dir: str):
+    """Apply the big-tier cost policy to the battery name list — pure
+    (env-read, no Spark) so the cap behavior is unit-testable:
+    (names, naive_capped, cost_capped, naive_cap, cap_disabled)."""
+    missing = ((set(NAIVE_TWINS) | set(NAIVE_TWINS.values())
+                | OUTPUT_BOUND) - set(QUERIES))
+    if missing:  # explicit raise: an assert is stripped under -O
+        raise RuntimeError(f"naive-cap names drifted: {missing}")
+    try:
+        naive_cap = float(
+            os.environ.get("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "1"))
+    except ValueError:
+        # a malformed env var must not kill the whole battery before
+        # any query runs (round-12 review)
+        naive_cap = 1.0
+        print("BENCH WARN unparseable SPARK_GRAFT_BENCH_NAIVE_SF_CAP="
+              f"{os.environ['SPARK_GRAFT_BENCH_NAIVE_SF_CAP']!r} — "
+              f"using default {naive_cap}", file=sys.stderr)
+    naive_capped: list[str] = []
+    cost_capped: list[str] = []
+    cap_disabled = False
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        # an unparseable sf dir silently disables the cap — say so in
+        # the JSON line too, or a big-tier run in a custom-named dir
+        # re-prices the naive twins with a ledger indistinguishable
+        # from an intentional sub-cap run (round-12 review)
+        sf_num = 0.0
+        cap_disabled = True
+        print(f"BENCH WARN sf unparseable from {sf_dir!r} — "
+              f"naive-twin cap DISABLED for this run", file=sys.stderr)
+    if not only and sf_num > naive_cap:
+        naive_capped = sorted(n for n in names if n in NAIVE_TWINS)
+        cost_capped = sorted(n for n in names if n in OUTPUT_BOUND)
+        names = [n for n in names
+                 if n not in NAIVE_TWINS and n not in OUTPUT_BOUND]
+    return names, naive_capped, cost_capped, naive_cap, cap_disabled
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -53,62 +119,8 @@ def main() -> None:
                   f"{sorted(unknown)}", file=sys.stderr)
         names = [n for n in names if n in wanted]
 
-    # Labeled NAIVE siblings — queries kept registered and oracle-gated
-    # purely as the measured comparison point for their scale-safe twin
-    # + auto dispatcher (VERDICT r11 item 5). Above the cap tier they
-    # are ~14% of the sf10 battery (587 s of 4266 s at r11) while every
-    # user-facing path dispatches AWAY from them, so the full battery
-    # skips them past SPARK_GRAFT_BENCH_NAIVE_SF_CAP (default sf1) and
-    # their big-tier walls live in GROWTH_r12_naive_twins.json, measured
-    # once, instead of re-priced every battery. SPARK_GRAFT_BENCH_ONLY
-    # bypasses the cap (an explicit name ask is an explicit ask).
-    naive_twins = {
-        "graph_pagerank": "graph_pagerank_auto",
-        "graph_crawl_pagerank": "graph_crawl_pagerank_auto",
-        "win_rank_dense_ntile": "win_rank_auto",
-        "agg_percentile_exact": "agg_percentile_auto",
-    }
-    # Output-bound physics queries under the same cost policy (VERDICT
-    # r12 item 4): the stream-stream pair's walls are state×output
-    # volume, not plan quality (r10 constant-density study: throughput
-    # RISES with tier, state linear), and at sf10 they were 26% of the
-    # capped battery (396 + 295 s). Above the cap tier they are priced
-    # ONCE per round in GROWTH_r13_stream_cost.json instead of
-    # re-measured every battery; SPARK_GRAFT_BENCH_ONLY bypasses.
-    output_bound = {"stream_stream_join", "stream_stream_left_outer"}
-    missing_twins = ((set(naive_twins) | set(naive_twins.values())
-                      | output_bound) - set(QUERIES))
-    if missing_twins:  # explicit raise: an assert is stripped under -O
-        raise RuntimeError(f"naive-cap names drifted: {missing_twins}")
-    try:
-        naive_cap = float(
-            os.environ.get("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "1"))
-    except ValueError:
-        # a malformed env var must not kill the whole battery before
-        # any query runs (round-12 review)
-        naive_cap = 1.0
-        print("BENCH WARN unparseable SPARK_GRAFT_BENCH_NAIVE_SF_CAP="
-              f"{os.environ['SPARK_GRAFT_BENCH_NAIVE_SF_CAP']!r} — "
-              f"using default {naive_cap}", file=sys.stderr)
-    naive_capped: list[str] = []
-    naive_cap_disabled = False
-    try:
-        sf_num = float(sf)
-    except ValueError:
-        # an unparseable sf dir silently disables the cap — say so in
-        # the JSON line too, or a big-tier run in a custom-named dir
-        # re-prices the naive twins with a ledger indistinguishable
-        # from an intentional sub-cap run (round-12 review)
-        sf_num = 0.0
-        naive_cap_disabled = True
-        print(f"BENCH WARN sf unparseable from {sf_dir!r} — "
-              f"naive-twin cap DISABLED for this run", file=sys.stderr)
-    cost_capped: list[str] = []
-    if not only and sf_num > naive_cap:
-        naive_capped = sorted(n for n in names if n in naive_twins)
-        cost_capped = sorted(n for n in names if n in output_bound)
-        names = [n for n in names
-                 if n not in naive_twins and n not in output_bound]
+    names, naive_capped, cost_capped, naive_cap, naive_cap_disabled = \
+        plan_battery(names, only, sf, sf_dir)
 
     # Best-of-N reps per query (default 1 — the battery protocol is
     # unchanged). The bench-gate's fresh-session re-probe sets 3: a

@@ -1788,3 +1788,46 @@ def test_ivf_incremental_recall_parity(spark, sf_dir):
     incr = mean_recall("sim_ivf_incremental_recall")
     base = mean_recall("sim_ivf_recall_multiprobe")
     assert incr >= base - 0.15, (incr, base)
+
+
+def test_bench_battery_cap_policy(monkeypatch):
+    """The big-tier cost policy (naive twins + output-bound stream pair)
+    as a pure function: caps apply only above the sf cap tier, an
+    explicit SPARK_GRAFT_BENCH_ONLY ask bypasses them, a malformed cap
+    env degrades to the default, and an unparseable sf disables the cap
+    LOUDLY (cap_disabled flag — it reaches the JSON line)."""
+    import pathlib
+    import sys
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import bench
+    from dask_lambda_example_spark.registry import _ensure_loaded
+
+    _ensure_loaded()
+    names = sorted(["graph_pagerank", "graph_pagerank_auto",
+                    "stream_stream_join", "agg_global_reduction"])
+    # below/at the cap tier: nothing capped
+    kept, ncap, ccap, cap, dis = bench.plan_battery(names, None, "1", "x/sf1")
+    assert (kept, ncap, ccap, dis) == (names, [], [], False)
+    # above the cap tier: naive twin + stream query capped out
+    kept, ncap, ccap, cap, dis = bench.plan_battery(
+        names, None, "10", "x/sf10")
+    assert ncap == ["graph_pagerank"]
+    assert ccap == ["stream_stream_join"]
+    assert kept == ["agg_global_reduction", "graph_pagerank_auto"]
+    # explicit ONLY ask bypasses the cap even above the tier
+    kept, ncap, ccap, cap, dis = bench.plan_battery(
+        names, "graph_pagerank", "10", "x/sf10")
+    assert (kept, ncap, ccap) == (names, [], [])
+    # malformed cap env falls back to the default instead of crashing
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_NAIVE_SF_CAP", "banana")
+    kept, ncap, ccap, cap, dis = bench.plan_battery(
+        names, None, "10", "x/sf10")
+    assert cap == 1.0 and ncap == ["graph_pagerank"]
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_NAIVE_SF_CAP")
+    # unparseable sf: cap disabled, flagged for the JSON line
+    kept, ncap, ccap, cap, dis = bench.plan_battery(
+        names, None, "custom", "x/sfcustom")
+    assert dis is True and kept == names and not ncap and not ccap
