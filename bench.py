@@ -137,6 +137,7 @@ def main() -> None:
               file=sys.stderr)
 
     times: dict[str, float] = {}
+    flaky: list[str] = []  # succeeded on some rep, crashed on another
     for name in names:
         spec = QUERIES[name]
         walls: list[float] = []
@@ -157,6 +158,13 @@ def main() -> None:
                 # failed query
                 print(f"BENCH FAIL {name}: {exc}", file=sys.stderr,
                       flush=True)
+                if walls:
+                    # crash-under-repetition must be VISIBLE in the
+                    # JSON line, not only on stderr — the bench-gate
+                    # re-probe runs reps=3 and a fresh-session-flaky
+                    # query would otherwise silently clear the gate
+                    # with its one surviving wall (ADVICE r13)
+                    flaky.append(name)
                 break
         if walls:
             times[name] = round(min(walls), 4)
@@ -222,6 +230,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
         "failed": sorted(n for n, t in times.items() if t < 0),
+        # names whose best-of wall survived but SOME rep crashed —
+        # green-looking but not trustworthy (ADVICE r13)
+        "flaky": sorted(flaky),
         # naive siblings skipped past the cap tier (see naive_twins
         # above); their big-tier walls are in GROWTH_r12_naive_twins.json
         "naive_capped": naive_capped,

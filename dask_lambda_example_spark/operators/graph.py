@@ -20,6 +20,8 @@ value-checked, not rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,11 +108,26 @@ def _edge_ckpt_level(e_bound: int):
     the r9-failure shape — four consecutive 100 M-edge graph queries
     at sf10/16 g — re-run green). At cluster scale the judgement is
     unchanged: a multi-TB edge list is spill-tier data, never
-    PINNED executor-storage-tier."""
+    PINNED executor-storage-tier.
+
+    ROLLBACK TRIGGER (ADVICE r13: the green re-run of the r9 failure
+    shape is one sample of a nondeterministic OOM, and under the
+    unified memory manager cached blocks are protected from execution
+    eviction up to ``spark.memory.storageFraction`` — a per-context
+    core conf this query cannot lower from a ``newSession``): if ANY
+    battery run OOMs the SparkContext with graph checkpoints resident,
+    set ``SPARK_GRAFT_EDGE_CKPT_LEVEL=DISK_ONLY`` — that restores the
+    round-11 hard guard verbatim (no storage blocks in the heap, the
+    priced 1.454x rcte trade) without a code change, and the incident
+    wall belongs in SCALE.md next to the env flip."""
     from pyspark import StorageLevel
 
-    return (StorageLevel.MEMORY_AND_DISK
-            if e_bound > PR_BROADCAST_MAX_EDGE_ROWS else None)
+    if e_bound <= PR_BROADCAST_MAX_EDGE_ROWS:
+        return None
+    level = os.environ.get("SPARK_GRAFT_EDGE_CKPT_LEVEL", "")
+    if level:
+        return getattr(StorageLevel, level)
+    return StorageLevel.MEMORY_AND_DISK
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

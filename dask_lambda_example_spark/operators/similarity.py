@@ -1810,6 +1810,41 @@ def _ingest_assign_cells(vecs: DataFrame, cen: DataFrame,
             .select("vec_id", "label", "ccos"))
 
 
+def _pq_sat_bin_expr(pos: int):
+    """Saturating lattice bin against the broadcast grid arrays —
+    ``greatest(0, least(levels-1, floor(...)))``. The frozen grid was
+    trained on the corpus, so an out-of-distribution batch value can
+    fall OUTSIDE [min, max]: clamp its bin on BOTH ends (the
+    full-corpus encode in ``_pq_bin_expr`` never needs the low clamp —
+    its grid min is the data min by construction). Standard
+    frozen-quantizer edge-bin saturation; shared by the ingest and the
+    post-ingest rerank serving path."""
+    x = F.element_at(F.col("emb"), pos + 1)
+    mn = F.element_at(F.col("mna"), pos + 1)
+    w = F.element_at(F.col("wa"), pos + 1)
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(PQ_LEVELS - 1),
+                F.floor((x - mn) / w * PQ_LEVELS))).cast("int")
+
+
+def _pq_sat_code_expr(m: int):
+    """Subspace-``m`` saturated PQ code (the ``_pq_code_expr`` fold
+    over ``_pq_sat_bin_expr`` bins)."""
+    parts = [_pq_sat_bin_expr(m * PQ_DSUB + j) * (PQ_LEVELS ** j)
+             for j in range(PQ_DSUB)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _pq_sat_codes_arr():
+    """All ``PQ_M`` saturated subspace codes as one array expression —
+    pure whole-stage codegen against the broadcast 1-row grid."""
+    return F.array(*[_pq_sat_code_expr(m).cast("int") for m in range(PQ_M)])
+
+
 def _ingest_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
@@ -1889,31 +1924,11 @@ def sim_ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("label").alias("cell"),
         F.round("ccos", 6).alias("ccos"))
 
-    # Saturating encode: the frozen grid was trained on the corpus, so
-    # an out-of-distribution batch value can fall OUTSIDE [min, max] —
-    # clamp its bin into [0, levels-1] on BOTH ends (the full-corpus
-    # encode in _pq_bin_expr never needs the low clamp: its grid min is
-    # the data min by construction). Standard frozen-quantizer edge-bin
-    # saturation; the oracle applies the identical greatest/least.
-    def _sat_bin(pos: int):
-        x = F.element_at(F.col("emb"), pos + 1)
-        mn = F.element_at(F.col("mna"), pos + 1)
-        w = F.element_at(F.col("wa"), pos + 1)
-        return F.greatest(
-            F.lit(0),
-            F.least(F.lit(PQ_LEVELS - 1),
-                    F.floor((x - mn) / w * PQ_LEVELS))).cast("int")
-
-    def _sat_code(m: int):
-        parts = [_sat_bin(m * PQ_DSUB + j) * (PQ_LEVELS ** j)
-                 for j in range(PQ_DSUB)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out + p
-        return out
-
+    # Saturating encode against the frozen corpus grid — see
+    # _pq_sat_bin_expr; the oracle applies the identical
+    # greatest/least clamps.
     grid = _pq_grid(corpus)
-    codes = F.array(*[_sat_code(m).cast("int") for m in range(PQ_M)])
+    codes = _pq_sat_codes_arr()
     coded = (batch.crossJoin(F.broadcast(grid))
              .select("vec_id",
                      F.array_join(
@@ -2082,3 +2097,295 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("ivf_neighbor").alias("n_hit"))
         .select("query_id", "n_hit",
                 F.round(F.col("n_hit") / IVF_K, 6).alias("recall_at_k")))
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN ingest + exact-refine serving path (VERDICT r13
+# item 3) — the composition the r13 recall numbers exposed as missing:
+# ``sim_ivf_incremental_recall`` signs the ingest off at multiprobe-
+# family recall (0.21-0.25 @3), while the corpus-side serving path
+# (``sim_ivfpq_rerank_search``) recovers the rerank-family level by
+# ADC-shortlisting and exactly re-scoring. This operator runs that
+# same serving discipline over the FROZEN+INGESTED index: multiprobe
+# cell pruning over corpus cells ∪ ingest-assigned cells, ADC against
+# the post-ingest code table, ONE broadcast exact re-rank.
+#
+# Frozen-index contract at 100 TB: centroids and the PQ grid stay
+# corpus-derived (never recomputed per batch); the batch contributes
+# (a) its ingest-assigned cell rows and (b) its saturated codes. The
+# per-bin reconstruction values (the codebook) DO fold the batch in —
+# bin means are sum/count aggregates, so a production index maintains
+# them incrementally at O(|batch|) delta cost, the one index structure
+# that updates with an ingest besides the postings themselves.
+# ---------------------------------------------------------------------------
+
+
+def _ingest_rerank_oracle() -> str:
+    d2 = _pq_rerank_d2_sql("q.emb", "c.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    corpus AS (SELECT * FROM e WHERE NOT ({_INGEST_BATCH_SQL})),
+    batch AS (SELECT * FROM e WHERE {_INGEST_BATCH_SQL}),
+    cexpl AS (SELECT label, unnest(emb) AS val,
+                     generate_subscripts(emb, 1) AS pos FROM corpus),
+    cen AS (SELECT label, pos, avg(val) AS cval
+            FROM cexpl GROUP BY label, pos),
+    cnorm AS (SELECT label, sqrt(sum(cval * cval)) AS cn
+              FROM cen GROUP BY label),
+    bexpl AS (SELECT vec_id, unnest(emb) AS val,
+                     generate_subscripts(emb, 1) AS pos FROM batch),
+    bnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS pn
+              FROM bexpl GROUP BY vec_id),
+    bpc AS (SELECT b.vec_id, c.label,
+                   sum(b.val * c.cval) / (pn.pn * cn.cn) AS ccos
+            FROM bexpl b JOIN cen c USING (pos)
+            JOIN bnorm pn ON pn.vec_id = b.vec_id
+            JOIN cnorm cn ON cn.label = c.label
+            GROUP BY b.vec_id, c.label, pn.pn, cn.cn),
+    ingested AS (SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, label) AS rn
+        FROM bpc) WHERE rn = 1),
+    grid AS (SELECT pos, min(val) AS mn,
+                    greatest(max(val) - min(val), 1e-30) AS w
+             FROM (SELECT unnest(emb) AS val,
+                          generate_subscripts(emb, 1) AS pos FROM corpus)
+             GROUP BY pos),
+    csub AS (SELECT vec_id, val, pos,
+                    CAST((pos - 1) // {PQ_DSUB} AS INT) AS m,
+                    CAST((pos - 1) % {PQ_DSUB} AS INT) AS j
+             FROM (SELECT vec_id, unnest(emb) AS val,
+                          generate_subscripts(emb, 1) AS pos FROM corpus)),
+    ccodes AS (SELECT vec_id, m,
+                      CAST(sum(least({PQ_LEVELS - 1},
+                               CAST(floor((s.val - g.mn) / g.w
+                                          * {PQ_LEVELS}) AS INT))
+                           * (1 << ({PQ_BITS} * s.j))) AS INT) AS code
+               FROM csub s JOIN grid g USING (pos)
+               GROUP BY vec_id, m),
+    bsub AS (SELECT vec_id, val, pos,
+                    CAST((pos - 1) // {PQ_DSUB} AS INT) AS m,
+                    CAST((pos - 1) % {PQ_DSUB} AS INT) AS j FROM bexpl),
+    bcodes AS (SELECT vec_id, m,
+                      CAST(sum(greatest(0, least({PQ_LEVELS - 1},
+                               CAST(floor((s.val - g.mn) / g.w
+                                          * {PQ_LEVELS}) AS INT)))
+                           * (1 << ({PQ_BITS} * s.j))) AS INT) AS code
+               FROM bsub s JOIN grid g USING (pos)
+               GROUP BY vec_id, m),
+    idxcodes AS (
+        SELECT c.vec_id, v.label AS cell, c.m, c.code
+        FROM ccodes c JOIN corpus v ON v.vec_id = c.vec_id
+        UNION ALL
+        SELECT b.vec_id, i.label AS cell, b.m, b.code
+        FROM bcodes b JOIN ingested i ON i.vec_id = b.vec_id),
+    allsub AS (SELECT vec_id, val, pos, m FROM csub
+               UNION ALL
+               SELECT vec_id, val, pos, m FROM bsub),
+    cb AS (SELECT ic.code, s.m, s.pos, avg(s.val) AS cval
+           FROM allsub s JOIN idxcodes ic
+             ON ic.vec_id = s.vec_id AND ic.m = s.m
+           GROUP BY ic.code, s.m, s.pos),
+    pdt AS (SELECT s.vec_id AS query_id, s.m, cb.code,
+                   sum((s.val - cb.cval) * (s.val - cb.cval)) AS d2
+            FROM (SELECT vec_id, val, pos,
+                         CAST((pos - 1) // {PQ_DSUB} AS INT) AS m
+                  FROM (SELECT vec_id, unnest(emb) AS val,
+                               generate_subscripts(emb, 1) AS pos
+                        FROM e
+                        WHERE vec_id % {PROBE_MOD} = 0
+                          AND vec_id < {PROBE_CAP})) s
+            JOIN cb ON cb.m = s.m AND cb.pos = s.pos
+            GROUP BY s.vec_id, s.m, cb.code),
+    pexpl AS (SELECT vec_id, unnest(emb) AS val,
+                     generate_subscripts(emb, 1) AS pos FROM e
+              WHERE vec_id % {PROBE_MOD} = 0 AND vec_id < {PROBE_CAP}),
+    pnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm
+              FROM pexpl GROUP BY vec_id),
+    ppc AS (SELECT p.vec_id, c.label,
+                   sum(p.val * c.cval) / (pn.nrm * cn.cn) AS ccos
+            FROM pexpl p JOIN cen c USING (pos)
+            JOIN pnorm pn ON pn.vec_id = p.vec_id
+            JOIN cnorm cn ON cn.label = c.label
+            GROUP BY p.vec_id, c.label, pn.nrm, cn.cn),
+    passigned AS (SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, label) AS rn
+        FROM ppc) WHERE rn <= {IVF_PROBE_CELLS}),
+    adc AS (SELECT q.query_id, ic.vec_id AS neighbor_id, sum(q.d2) AS ad2
+            FROM pdt q
+            JOIN idxcodes ic ON ic.m = q.m AND ic.code = q.code
+            JOIN passigned a ON a.vec_id = q.query_id
+                            AND a.label = ic.cell
+            WHERE ic.vec_id <> q.query_id
+            GROUP BY q.query_id, ic.vec_id),
+    shortlist AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= {PQ_RERANK}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings)
+    SELECT query_id, neighbor_id, round(d2, 6) AS dist2, rank FROM (
+        SELECT s.query_id, s.neighbor_id, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {d2}, s.neighbor_id) AS rank
+        FROM shortlist s
+        JOIN ev q ON q.vec_id = s.query_id
+        JOIN ev c ON c.vec_id = s.neighbor_id)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+def _ingest_rerank_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id): the PQ_RERANK-wide ADC shortlist over
+    the post-ingest index — cell-pruned to each probe's multiprobe
+    cells, scored against the incrementally-updated codebook."""
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    corpus = e.filter(~_ingest_is_batch())
+    batch = e.filter(_ingest_is_batch())
+
+    cen, cnorm = _ingest_corpus_cells(corpus)
+    ingested = _ingest_assign_cells(batch, cen, cnorm, 1).select(
+        "vec_id", "label")
+
+    grid = _pq_grid(corpus)
+    ccoded = _pq_coded(corpus, grid).select(
+        "vec_id", "label", "emb", "codes")
+    bcoded = (batch.crossJoin(F.broadcast(grid))
+              .select("vec_id", "emb", _pq_sat_codes_arr().alias("codes"))
+              .join(ingested, "vec_id")
+              .select("vec_id", "label", "emb", "codes"))
+    # one materialization barrier for the post-ingest codes table — the
+    # _pq_adc_ranked lesson (inlined ~3,000-op encode re-evaluated per
+    # candidate pair without it); this IS the table a production index
+    # persists, at PQ compression
+    coded = ccoded.unionAll(bcoded).localCheckpoint(eager=True)
+
+    cb = _pq_codebook(coded)
+    pdt = _pq_probe_d2(e, cb).select(
+        F.col("vec_id").alias("query_id"), "m", "code", "d2")
+    passigned = _ingest_assign_cells(
+        e.filter(_probe_filter()), cen, cnorm, IVF_PROBE_CELLS).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+
+    dtm = _pq_dt_array(pdt)
+    adc = (coded.select("vec_id", F.col("label").alias("cell"), "codes")
+           .join(F.broadcast(passigned), ["cell"])
+           .join(F.broadcast(dtm), ["query_id"])
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   _pq_adc_fold().alias("ad2")))
+    wrank = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(wrank))
+               .filter(F.col("rank") <= PQ_RERANK)
+               .select("query_id", "neighbor_id"))
+
+
+@query("sim_ivf_incremental_rerank_search", oracle=_ingest_rerank_oracle())
+def sim_ivf_incremental_rerank_search(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The production serving path over the FROZEN+INGESTED index:
+    multiprobe IVF cell pruning (corpus cells ∪ ingest-assigned
+    cells, frozen corpus centroids) → ADC scoring against the
+    post-ingest code table (corpus codes + the batch's saturated
+    codes; codebook = incrementally-maintained bin means) → ONE
+    broadcast exact re-rank of the PQ_RERANK shortlist
+    (``_exact_rerank``: shortlist broadcasts, the full-precision
+    corpus is scanned once, never shuffled).
+
+    This closes the loop the r13 round left open: ingest
+    (``sim_ivf_incremental_ingest``) priced adding vectors at
+    O(|batch|); this query serves them at rerank-family quality —
+    ``sim_ivf_incremental_rerank_recall`` measures the recovery vs the
+    0.21-0.25 multiprobe-only recall. Deterministic given the frozen
+    index, so fully oracle-gated: the SQL replays split → centroids →
+    assignment → grid → both encodes → codebook → distance tables →
+    cell-pruned ADC → exact refine end to end.
+
+    Plan shape: every index-side table (centroids, norms, grid,
+    distance-table arrays, probe cell assignments) broadcasts; the
+    only scans of the corpus are the two encode projections and the
+    refine's single broadcast-hash join; the batch never joins the
+    corpus. At 100 TB the ADC scan touches n_probe/n_cells of the
+    code table — which is ~8× smaller than the embeddings — and the
+    refine reads |probes| × {PQ_RERANK} full vectors."""
+    sl = _ingest_rerank_shortlist(spark, sf_dir)
+    return _exact_rerank(spark, sf_dir, sl)
+
+
+sim_ivf_incremental_rerank_search.__doc__ = \
+    sim_ivf_incremental_rerank_search.__doc__.format(PQ_RERANK=PQ_RERANK)
+
+
+def _ingest_rerank_recall_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES
+
+    rr = QUERIES["sim_ivf_incremental_rerank_search"].oracle
+    d2 = _pq_rerank_d2_sql("q.emb", "c.emb")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d2}, c.vec_id) AS rank
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {PROBE_MOD} = 0 AND q.vec_id < {PROBE_CAP})
+        WHERE rank <= {PQ_TOPK}),
+    rr_full AS ({rr})
+    SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / {PQ_TOPK}, 6) AS recall_at_k
+    FROM exact_k e
+    LEFT JOIN rr_full a ON a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("sim_ivf_incremental_rerank_recall",
+       oracle=_ingest_rerank_recall_oracle())
+def sim_ivf_incremental_rerank_recall(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Recall@k sign-off for the incremental serving path (every
+    approximate path in this repo ships one): the post-ingest
+    multiprobe→ADC→exact-refine result audited against exact
+    squared-L2 brute force over batch ∪ corpus. The number this
+    report prices is what the refine stage RECOVERS over the
+    multiprobe-only ``sim_ivf_incremental_recall`` (0.21-0.25 @3 at
+    r13 dials) — bounded above by cell membership of the true top-k,
+    exactly like the corpus-side ``sim_pq_rerank_recall``. Same audit
+    shape: probe-bounded exact side, |probes| × k audit join."""
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    q = (e.filter(_probe_filter())
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("emb").alias("qemb"),
+                  dot(F.col("emb"), F.col("emb")).alias("qq")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("cemb"),
+                 dot(F.col("emb"), F.col("emb")).alias("cc"))
+    d2 = (F.col("qq") - 2 * dot(F.col("qemb"), F.col("cemb"))
+          + F.col("cc"))
+    wrank = Window.partitionBy("query_id").orderBy(d2, F.asc("neighbor_id"))
+    exact_k = (F.broadcast(q)
+               .join(c, F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("rank", F.row_number().over(wrank))
+               .filter(F.col("rank") <= PQ_TOPK)
+               .select("query_id", "neighbor_id"))
+    rr = (sim_ivf_incremental_rerank_search(spark, sf_dir)
+          .select("query_id", F.col("neighbor_id").alias("rr_neighbor")))
+    return (
+        exact_k.join(
+            rr, (exact_k.query_id == rr.query_id)
+            & (exact_k.neighbor_id == rr.rr_neighbor), "left")
+        .groupBy(exact_k.query_id.alias("query_id"))
+        .agg(F.count("rr_neighbor").alias("n_hit"))
+        .select("query_id", "n_hit",
+                F.round(F.col("n_hit") / PQ_TOPK, 6).alias("recall_at_k"))
+    )

@@ -1165,6 +1165,9 @@ def test_bench_regression_gate():
         pytest.skip(report["skip"])
     assert not report["failed"], (
         f"queries failing in {arts[-1].name}: {report['failed']}")
+    assert not report["flaky"], (
+        f"queries flaky under repetition in {arts[-1].name}: "
+        f"{report['flaky']}")
     assert not report["confirmed"], (
         f"isolated-confirmed regressions between {arts[-2].name} and "
         f"{arts[-1].name} (median weather {report['median']:.2f}x): "
@@ -1233,6 +1236,116 @@ def test_bench_gate_weather_normalization(tmp_path):
     assert report4["confirmed"] == {"patho": (3.0, -1.0)}
 
 
+def test_bench_gate_median_cap_sentinels(tmp_path):
+    # ADVICE r13 (medium): an UNCAPPED weather median would excuse a
+    # genuine uniform whole-battery regression — a 4x-everything run
+    # raises the median to 4 and the old gate cleared itself.  The cap
+    # clamps normalization at MEDIAN_CAP and forces a fresh-session
+    # sentinel re-probe of the worst movers, which must CONFIRM when
+    # the isolated walls reproduce the slowdown and CLEAR when they
+    # land back at parity (true host weather).
+    import json
+
+    bench_gate = _bench_gate_mod()
+
+    def art(path, queries, flagship):
+        path.write_text(json.dumps({"parsed": {
+            "sink_mode": "collect", "queries": queries,
+            "flagship_synth_sec": flagship}}))
+        return path
+
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    cur = {f"q{i}": 4.0 for i in range(20)}  # uniform 4x — NOT weather-
+    a = art(tmp_path / "BENCH_r88.json", prev, 0.7)  # excusable per cap
+    b = art(tmp_path / "BENCH_r89.json", cur, 0.7)
+
+    probed = {"names": None}
+
+    def reprobe_confirm(prev_art, cur_art, names, **kw):
+        probed["names"] = set(names)
+        return {"isolated": {n: 4.0 for n in names}}
+
+    r = bench_gate.evaluate(a, b, reprobe=reprobe_confirm)
+    assert r["median"] == bench_gate.MEDIAN_CAP
+    assert r["median_raw"] == 4.0
+    # capped bar alone flags nothing (4.0 < 3 * 2 * 1.0) — sentinels
+    # must carry the adjudication
+    assert not r["flagged"] and r["sentinels"]
+    assert probed["names"] == set(r["sentinels"])
+    assert set(r["confirmed"]) == set(r["sentinels"])
+
+    def reprobe_clear(prev_art, cur_art, names, **kw):
+        return {"isolated": {n: 1.02 for n in names}}
+
+    r2 = bench_gate.evaluate(a, b, reprobe=reprobe_clear)
+    assert r2["sentinels"] and not r2["confirmed"]
+
+    # a LOADED-host run at the same uniform 4x: same flags, but the
+    # isolated walls at parity attribute it to weather — the cap never
+    # turns weather into a failure, it only refuses to take it on faith
+
+
+def test_bench_gate_parse_anchoring(tmp_path):
+    # ADVICE r13 (low): a tail artifact must not admit top-level
+    # numeric keys (the total wall, sf, n_queries) as phantom query
+    # timings — a flagged phantom re-probes to -1.0 and spuriously
+    # CONFIRMS.  Both tail shapes are covered: opener survived, and
+    # opener truncated away.
+    import json
+
+    bench_gate = _bench_gate_mod()
+
+    with_opener = (
+        '{"metric": "total_query_wall_time", "value": 415.2, '
+        '"unit": "sec", "sink": "collect", "queries": {"q_a": 1.5, '
+        '"q_b": 2.25}, "sink_mode": "collect", "sf": 0.1, '
+        '"n_queries": 2, "flagship_synth_sec": 0.83}')
+    p1 = tmp_path / "full_tail.json"
+    p1.write_text(json.dumps({"tail": with_opener}))
+    sink, q, fs, flaky = bench_gate.parse_artifact(p1)
+    assert sink == "collect" and fs == 0.83 and flaky == []
+    assert q == {"q_a": 1.5, "q_b": 2.25}, q  # no "value", no "metric"
+
+    # front-truncated INSIDE the queries object: opener gone, but the
+    # known non-query keys after the close must still be dropped
+    no_opener = ('"q_b": 2.25}, "sink_mode": "collect", "sf": 0.1, '
+                 '"n_queries": 2, "flaky": ["q_c"], '
+                 '"flagship_synth_sec": 0.83}')
+    p2 = tmp_path / "trunc_tail.json"
+    p2.write_text(json.dumps({"tail": no_opener}))
+    sink2, q2, fs2, flaky2 = bench_gate.parse_artifact(p2)
+    assert sink2 == "collect" and q2 == {"q_b": 2.25}
+    assert flaky2 == ["q_c"]
+
+    # a committed builder ledger (full bench JSON) parses directly
+    p3 = tmp_path / "ledger.json"
+    p3.write_text(json.dumps({
+        "metric": "total_query_wall_time", "value": 10.0, "unit": "sec",
+        "sink": "noop", "queries": {"q_a": 1.0}, "sink_mode": "noop",
+        "sf": 1.0, "n_queries": 1, "failed": [], "flaky": ["q_a"],
+        "flagship_synth_sec": 0.9}))
+    sink3, q3, fs3, flaky3 = bench_gate.parse_artifact(p3)
+    assert (sink3, q3, fs3, flaky3) == ("noop", {"q_a": 1.0}, 0.9, ["q_a"])
+
+
+def test_bench_gate_surfaces_flaky(tmp_path):
+    # a current artifact carrying a 'flaky' list must surface it in the
+    # report (the hard gate test fails on it for driver artifacts)
+    import json
+
+    bench_gate = _bench_gate_mod()
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"parsed": {
+        "sink_mode": "collect", "queries": {"q": 1.0},
+        "flagship_synth_sec": 0.7}}))
+    b.write_text(json.dumps({"parsed": {
+        "sink_mode": "collect", "queries": {"q": 1.1},
+        "flaky": ["q"], "flagship_synth_sec": 0.7}}))
+    r = bench_gate.evaluate(a, b)
+    assert r["flaky"] == ["q"] and not r["confirmed"]
+
+
 def test_bench_gate_flagship_normalized(tmp_path):
     # the r12 flagship (0.6665 -> 3.3261s, 5x raw / 3.7x normalized)
     # must reach the re-probe stage and clear on an isolated wall at
@@ -1260,6 +1373,24 @@ def test_bench_gate_flagship_normalized(tmp_path):
     r2 = bench_gate.evaluate(
         a, b, reprobe=lambda *_, **k: {"isolated": {key: 3.2}})
     assert r2["confirmed"] == {key: (0.6665, 3.2)}
+
+
+def test_edge_ckpt_level_rollback_env(monkeypatch):
+    # ADVICE r13 (low): the MEMORY_AND_DISK edge-checkpoint win keeps a
+    # documented one-env rollback to the round-11 DISK_ONLY hard guard
+    # — storageFraction is a per-context core conf a newSession can't
+    # lower, so the escape hatch must work without a code change.
+    from pyspark import StorageLevel
+
+    from dask_lambda_example_spark.operators import graph
+
+    big = graph.PR_BROADCAST_MAX_EDGE_ROWS + 1
+    monkeypatch.delenv("SPARK_GRAFT_EDGE_CKPT_LEVEL", raising=False)
+    assert graph._edge_ckpt_level(big) == StorageLevel.MEMORY_AND_DISK
+    assert graph._edge_ckpt_level(10) is None
+    monkeypatch.setenv("SPARK_GRAFT_EDGE_CKPT_LEVEL", "DISK_ONLY")
+    assert graph._edge_ckpt_level(big) == StorageLevel.DISK_ONLY
+    assert graph._edge_ckpt_level(10) is None  # below bound: unchanged
 
 
 def test_adaptive_extra_bits_pins_bucket_size():
@@ -1831,3 +1962,79 @@ def test_bench_battery_cap_policy(monkeypatch):
     kept, ncap, ccap, cap, dis = bench.plan_battery(
         names, None, "custom", "x/sfcustom")
     assert dis is True and kept == names and not ncap and not ccap
+
+
+def test_image_phash_decode_matches_generating_arithmetic():
+    # the perceptual-hash bits computed from the REAL PNG decode
+    # (decode_png_gray8 over make_png_bytes) must equal the bits
+    # derived directly from the generating pixel arithmetic — the same
+    # relationship the DuckDB oracle relies on, checked here without
+    # Spark for a spread of doc_ids (covers all five PNG row filters
+    # and the mod-251 wraparound).
+    from dask_lambda_example_spark.operators.dedup import (
+        PHASH_CELL, _phash_dims)
+    from dask_lambda_example_spark.operators.multimodal import (
+        PNG_H, PNG_W, decode_png_gray8, make_png_bytes)
+
+    gc_, gr_, nc, _ = _phash_dims()
+
+    def phash_analytic(doc_id: int) -> int:
+        cells = [[0] * gc_ for _ in range(gr_)]
+        for r in range(PNG_H):
+            for c in range(PNG_W):
+                cells[r // PHASH_CELL][c // PHASH_CELL] += (
+                    doc_id * 31 + r * 13 + c * 7) % 251
+        tot = sum(map(sum, cells))
+        h = 0
+        for r in range(gr_):
+            for c in range(gc_):
+                k = r * gc_ + c
+                if cells[r][c] * nc > tot:
+                    h |= 1 << k
+                if cells[r][c] > cells[r][(c + 1) % gc_]:
+                    h |= 1 << (nc + k)
+        return h
+
+    def phash_decoded(doc_id: int) -> int:
+        _, _, _, _, grid = decode_png_gray8(make_png_bytes(doc_id))
+        cells = grid.reshape(gr_, PHASH_CELL, gc_, PHASH_CELL).sum(
+            axis=(1, 3))
+        tot = int(cells.sum())
+        h = 0
+        for r in range(gr_):
+            for c in range(gc_):
+                k = r * gc_ + c
+                if int(cells[r, c]) * nc > tot:
+                    h |= 1 << k
+                if cells[r, c] > cells[r, (c + 1) % gc_]:
+                    h |= 1 << (nc + k)
+        return h
+
+    for doc_id in [0, 25, 50, 251, 2510, 6275, 97525]:
+        assert phash_decoded(doc_id) == phash_analytic(doc_id), doc_id
+    # identical images (doc_id ≡ mod 251·SAMPLE step) hash identically
+    assert phash_analytic(0) == phash_analytic(251)
+
+
+def test_cutlist_interval_merge_reference():
+    # pure-Python reference of the gaps-and-islands interval merge the
+    # cutlist oracle and Spark window pipeline both implement:
+    # overlapping OR adjacent intervals merge; canon = min doc_a per
+    # merged range. Checked against a hand-built span set covering
+    # overlap, adjacency, gap, and multi-source canon selection.
+    def merge(intervals):
+        # intervals: (s, e, doc_a), 1-based inclusive
+        out = []
+        for s, e, a in sorted(intervals):
+            if out and s <= out[-1][1] + 1:
+                ps, pe, pa = out[-1]
+                out[-1] = (ps, max(pe, e), min(pa, a))
+            else:
+                out.append((s, e, a))
+        return out
+
+    spans = [(5, 10, 7), (8, 14, 3), (15, 20, 9),  # overlap + adjacent
+             (30, 40, 2), (25, 28, 5)]             # 1-gap separates
+    assert merge(spans) == [(5, 20, 3), (25, 28, 5), (30, 40, 2)]
+    assert merge([(1, 3, 4), (5, 6, 1)]) == [(1, 3, 4), (5, 6, 1)]
+    assert merge([(1, 3, 4), (4, 6, 1)]) == [(1, 6, 1)]

@@ -24,6 +24,17 @@ bar itself):
    driver drops a new artifact pair.
 
 The flagship metric keeps its tighter 2x bar, normalized the same way.
+
+Round 14 (VERDICT r13 item 1 + ADVICE r13): the same gate now also runs
+against the builder's own per-tier ledgers (``BENCH_sf{T}_noop_r{N}.json``
+pairs) via the CLI at the bottom, so in-battery mover families are
+attributed IN-ROUND instead of as next round's homework; the weather
+median is CAPPED (an uncapped median would excuse a genuine uniform
+whole-battery regression as "weather") with a sentinel re-probe of the
+worst movers whenever the cap binds; artifact parsing is anchored to the
+queries object so a tail artifact can't admit phantom entries; and a
+query that crashed on SOME re-probe rep (bench.py's ``flaky`` list) is
+treated as CONFIRMED, not silently green.
 """
 
 from __future__ import annotations
@@ -44,33 +55,72 @@ QUERY_FACTOR = 3.0     # per-query regression factor
 QUERY_FLOOR_S = 1.5    # ignore sub-1.5s walls (fixed-cost noise)
 FLAGSHIP_FACTOR = 2.0  # flagship regression factor (VERDICT r4)
 FLAGSHIP_FLOOR_S = 1.0
+# Cap on the weather-median normalization (ADVICE r13, medium): an
+# UNCAPPED median lets a genuine battery-wide regression (a session or
+# config change slowing every query uniformly 4x) raise the "weather"
+# factor by the same 4x and clear itself.  Host load measured on this
+# driver has been ≤ ~1.4x (the r11→r12 pair); 2.0 leaves headroom above
+# everything observed while any uniform slowdown beyond it must PROVE
+# itself weather via the sentinel fresh-session re-probe below.
+MEDIAN_CAP = 2.0
+# When the raw median exceeds the cap, the worst N movers are re-probed
+# fresh even if nothing exceeds the capped bar — they distinguish host
+# weather (isolated walls at parity → clear) from a real whole-battery
+# regression (isolated walls confirm the raw bar → fail).
+SENTINEL_N = 3
+
+# Keys that share the bench JSON line's top level with query timings —
+# a front-truncated tail artifact that lost the '"queries": {' opener
+# must never admit these as phantom "queries" (ADVICE r13: a flagged
+# phantom name is unknown to the registry, re-probes to -1.0, and would
+# spuriously CONFIRM).
+NON_QUERY_KEYS = frozenset({
+    "value", "sf", "n_queries", "naive_sf_cap", "flagship_synth_rows",
+    "flagship_synth_sec", "flagship_rows_per_sec", "metric", "unit",
+})
 
 CACHE_NAME = "BENCH_reprobe_gate.json"
 FLAGSHIP_KEY = "__flagship_synth__"  # cache slot for the flagship probe
 
 
 def parse_artifact(path: pathlib.Path):
-    """(sink_mode, per-query timings, flagship_sec) from a driver bench
-    artifact.  Driver artifacts keep only the TAIL of the bench JSON
-    line (front-truncated), so per-query times are recovered by
-    scanning "name": seconds pairs inside the queries object —
-    everything before the closing ``}, "sink_mode":`` / ``}, "sf":``
-    belongs to it.  bench.py >= r6 duplicates the sink mode AFTER the
-    queries object precisely so truncation can't eat it (ADVICE r5)."""
+    """(sink_mode, per-query timings, flagship_sec, flaky) from a bench
+    artifact — any of the three shapes the gate meets:
+
+    - a full bench.py JSON line (the builder's committed tier ledgers),
+    - the driver's ``{"parsed": {...}}`` wrapper,
+    - the driver's ``{"tail": "..."}`` front-truncated form, where
+      per-query times are recovered by scanning "name": seconds pairs
+      inside the queries object.  The scan is ANCHORED to the
+      '"queries": {' opener when it survived truncation, and known
+      top-level numeric keys are dropped either way, so a tail that
+      lost the opener can't admit phantom entries like the total wall
+      (ADVICE r13).  bench.py >= r6 duplicates the sink mode AFTER the
+      queries object precisely so truncation can't eat it (ADVICE r5).
+    """
     doc = json.loads(path.read_text())
+    if isinstance(doc.get("queries"), dict):  # full bench JSON (ledger)
+        return (doc.get("sink_mode", doc.get("sink")), doc["queries"],
+                doc.get("flagship_synth_sec"), doc.get("flaky", []))
     if isinstance(doc.get("parsed"), dict):
         p = doc["parsed"]
         return (p.get("sink_mode", p.get("sink")), p["queries"],
-                p.get("flagship_synth_sec"))
+                p.get("flagship_synth_sec"), p.get("flaky", []))
     sink_m = (re.search(r'"sink_mode":\s*\\?"(\w+)', doc["tail"])
               or re.search(r'"sink":\s*\\?"(\w+)', doc["tail"]))
     fm = re.search(r'"flagship_synth_sec\\?":\s*(\d+(?:\.\d+)?)',
                    doc["tail"])
+    fl = re.search(r'"flaky":\s*\[([^\]]*)\]', doc["tail"])
+    flaky = re.findall(r'"([a-z0-9_]+)"', fl.group(1)) if fl else []
     tail = re.split(r'}, "(?:sink_mode|sf)":', doc["tail"])[0]
+    opener = tail.find('"queries": {')
+    if opener >= 0:
+        tail = tail[opener + len('"queries": {'):]
     return (sink_m.group(1) if sink_m else None,
             {m.group(1): float(m.group(2)) for m in re.finditer(
-                r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)},
-            float(fm.group(1)) if fm else None)
+                r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)
+             if m.group(1) not in NON_QUERY_KEYS},
+            float(fm.group(1)) if fm else None, flaky)
 
 
 def weather_median(prev: dict, cur: dict) -> float:
@@ -106,10 +156,11 @@ def _md5(path: pathlib.Path) -> str:
 
 
 def cached_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
-                   needed: set[str]) -> dict | None:
+                   needed: set[str],
+                   cache_path: pathlib.Path | None = None) -> dict | None:
     """The committed re-probe cache, iff it was produced against
     exactly these artifact bytes and covers every needed name."""
-    cache = REPO / CACHE_NAME
+    cache = cache_path or REPO / CACHE_NAME
     if not cache.exists():
         return None
     try:
@@ -125,7 +176,10 @@ def cached_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
 
 
 def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
-                names: set[str], sink: str | None = None) -> dict:
+                names: set[str], sink: str | None = None,
+                sf_dir: str = "/root/testdata/sf0.1",
+                cache_path: pathlib.Path | None = None,
+                timeout: int = 1800) -> dict:
     """Measure the flagged names in a FRESH interpreter/JVM via
     bench.py's ``SPARK_GRAFT_BENCH_ONLY``, write the cache artifact,
     return it.  The protocol is PINNED to the artifact pair's, not the
@@ -149,7 +203,7 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_ONLY=",".join(run_names),
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_SF_DIR=sf_dir,
         # best-of-3: a single isolated run charges cold-JVM/codegen
         # warm-up to the one query measured, which the in-battery
         # baseline amortized across hundreds of queries
@@ -161,7 +215,7 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO),
-        timeout=1800)
+        timeout=timeout)
     if out.returncode != 0:
         raise RuntimeError(
             f"re-probe bench failed rc={out.returncode}: "
@@ -169,6 +223,12 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
     line = out.stdout.strip().splitlines()[-1]
     bench = json.loads(line)
     isolated = {n: bench["queries"].get(n, -1.0) for n in run_names}
+    # a name that crashed on SOME rep (succeeded on others) is flaky
+    # under repetition — surface it as a confirming -1.0, never as the
+    # surviving wall (ADVICE r13, bench.py's 'flaky' list)
+    for n in bench.get("flaky", []):
+        if n in isolated:
+            isolated[n] = -1.0
     isolated[FLAGSHIP_KEY] = bench["flagship_synth_sec"]
     doc = {
         "what": ("fresh-session isolated re-probe of bench-gate flagged "
@@ -181,21 +241,34 @@ def run_reprobe(prev_art: pathlib.Path, cur_art: pathlib.Path,
         "cur_art": cur_art.name,
         "prev_md5": _md5(prev_art),
         "cur_md5": _md5(cur_art),
+        "sf_dir": sf_dir,
         "isolated": isolated,
     }
-    (REPO / CACHE_NAME).write_text(json.dumps(doc) + "\n")
+    (cache_path or REPO / CACHE_NAME).write_text(json.dumps(doc) + "\n")
     return doc
 
 
+def sentinel_movers(prev: dict, cur: dict, n: int = SENTINEL_N) -> dict:
+    """The ``n`` worst current-vs-previous movers with a meaningful
+    current wall — the fresh-session sentinels that adjudicate a
+    median above MEDIAN_CAP: {name: (prev_s, cur_s)}."""
+    movers = [(cur[k] / prev[k], k) for k in prev.keys() & cur.keys()
+              if prev[k] >= 0.1 and cur[k] > QUERY_FLOOR_S]
+    return {k: (prev[k], cur[k])
+            for _, k in sorted(movers, reverse=True)[:n]}
+
+
 def evaluate(prev_art: pathlib.Path, cur_art: pathlib.Path,
-             reprobe=run_reprobe) -> dict:
+             reprobe=run_reprobe,
+             cache_path: pathlib.Path | None = None) -> dict:
     """Full gate: returns a report dict; ``confirmed`` non-empty means
     a REAL (isolated-confirmed) regression.  ``reprobe`` is injectable
     for unit tests."""
-    prev_sink, prev, f_prev = parse_artifact(prev_art)
-    cur_sink, cur, f_cur = parse_artifact(cur_art)
+    prev_sink, prev, f_prev, _ = parse_artifact(prev_art)
+    cur_sink, cur, f_cur, cur_flaky = parse_artifact(cur_art)
     report: dict = {"sink": (prev_sink, cur_sink), "confirmed": {},
-                    "flagged": {}, "median": None, "skip": None}
+                    "flagged": {}, "median": None, "skip": None,
+                    "flaky": list(cur_flaky)}
     # collect-sink vs noop-sink rounds are not comparable; when exactly
     # one side is unrecoverable, skip rather than guess (ADVICE r5)
     if (prev_sink is None) != (cur_sink is None):
@@ -204,28 +277,45 @@ def evaluate(prev_art: pathlib.Path, cur_art: pathlib.Path,
     if prev_sink != cur_sink:
         report["skip"] = f"sink mismatch: {prev_sink!r} vs {cur_sink!r}"
         return report
-    med = weather_median(prev, cur)
+    med_raw = weather_median(prev, cur)
+    # the normalization is CAPPED (ADVICE r13): beyond the cap a
+    # uniform slowdown stops being excusable as weather and the worst
+    # movers must prove themselves fresh — flag_queries judges against
+    # the capped factor, and the sentinel set below forces a re-probe
+    # even if the capped bar alone flags nothing
+    med = min(med_raw, MEDIAN_CAP)
     report["median"] = med
+    report["median_raw"] = med_raw
     flagged = flag_queries(prev, cur, med)
+    sentinels: dict = {}
+    if med_raw > MEDIAN_CAP:
+        sentinels = {k: v for k, v in sentinel_movers(prev, cur).items()
+                     if k not in flagged}
     report["flagged"] = dict(flagged)
+    report["sentinels"] = dict(sentinels)
     fs_flag = flagship_flagged(f_prev, f_cur, med)
     report["flagship_flagged"] = fs_flag
     report["failed"] = [n for n, t in cur.items() if t < 0]
-    need = set(flagged) | ({FLAGSHIP_KEY} if fs_flag else set())
+    probe_prev = {**{n: t[0] for n, t in sentinels.items()},
+                  **{n: t[0] for n, t in flagged.items()}}
+    need = set(probe_prev) | ({FLAGSHIP_KEY} if fs_flag else set())
     if not need:
         return report
-    cache = cached_reprobe(prev_art, cur_art, need) or reprobe(
+    cache = cached_reprobe(prev_art, cur_art, need, cache_path) or reprobe(
         prev_art, cur_art, need, sink=cur_sink)
     iso = cache["isolated"]
     # a flagged name whose isolated re-probe FAILED (-1.0: the query
-    # crashed fresh, or was renamed out of the registry) must CONFIRM,
-    # not silently clear (round-13 review) — the inline gate always
-    # failed on a -1.0 artifact entry and the re-probe path keeps that
+    # crashed fresh, crashed on SOME rep, or was renamed out of the
+    # registry) must CONFIRM, not silently clear (round-13 review) —
+    # the inline gate always failed on a -1.0 artifact entry and the
+    # re-probe path keeps that.  Sentinels are judged against the same
+    # RAW bars: an isolated sentinel past 3x its previous wall is a
+    # real whole-battery-scale regression, not weather.
     confirmed = {
-        n: (flagged[n][0], iso[n])
-        for n in flagged
+        n: (probe_prev[n], iso[n])
+        for n in probe_prev
         if iso[n] < 0
-        or iso[n] > max(QUERY_FACTOR * flagged[n][0], QUERY_FLOOR_S)
+        or iso[n] > max(QUERY_FACTOR * probe_prev[n], QUERY_FLOOR_S)
     }
     if fs_flag and iso[FLAGSHIP_KEY] > max(
             FLAGSHIP_FACTOR * f_prev, FLAGSHIP_FLOOR_S):
@@ -233,3 +323,50 @@ def evaluate(prev_art: pathlib.Path, cur_art: pathlib.Path,
     report["isolated"] = iso
     report["confirmed"] = confirmed
     return report
+
+
+def main(argv: list[str]) -> int:
+    """CLI for the per-tier ledger gate (VERDICT r13 item 1): compare
+    two committed builder ledgers (full bench.py JSON), re-probe any
+    flagged/sentinel name fresh at the LEDGER's own tier, and write the
+    verdict artifact — so in-battery mover families are attributed in
+    the same round that produced them.
+
+        python tools/bench_gate.py PREV.json CUR.json \\
+            --sf-dir /root/repo/.localdata/sf1 \\
+            --out BENCH_gate_sf1_r14.json [--timeout 7200]
+    """
+    import argparse
+    import functools
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("prev", type=pathlib.Path)
+    ap.add_argument("cur", type=pathlib.Path)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", type=pathlib.Path, default=None)
+    ap.add_argument("--timeout", type=int, default=7200)
+    args = ap.parse_args(argv)
+    cache = (args.out.with_name(args.out.name + ".reprobe")
+             if args.out else None)
+    reprobe = functools.partial(run_reprobe, sf_dir=args.sf_dir,
+                                cache_path=cache, timeout=args.timeout)
+    report = evaluate(args.prev, args.cur, reprobe=reprobe,
+                      cache_path=cache)
+    report["prev_art"] = args.prev.name
+    report["cur_art"] = args.cur.name
+    report["sf_dir"] = args.sf_dir
+    report["verdict"] = (
+        "SKIP" if report["skip"]
+        else "CONFIRMED_REGRESSION" if report["confirmed"]
+        else "WEATHER_ATTRIBUTED" if (report["flagged"]
+                                      or report.get("sentinels"))
+        else "GREEN")
+    text = json.dumps(report, indent=1, sort_keys=True)
+    if args.out:
+        args.out.write_text(text + "\n")
+    print(text)
+    return 1 if report["confirmed"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
