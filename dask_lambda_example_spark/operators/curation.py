@@ -544,7 +544,7 @@ def curation_quality_budget_select(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 from dask_lambda_example_spark.operators.dedup import (  # noqa: E402
-    dedup_exact_hash)
+    dedup_exact_hash, dedup_substring_cutlist)
 from dask_lambda_example_spark.operators.text import (  # noqa: E402
     text_repetition_filter, text_unigram_lm_score)
 from dask_lambda_example_spark.registry import QUERIES  # noqa: E402
@@ -633,6 +633,117 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s.stage").alias("stage"))
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+def _funnel_cut_oracle() -> str:
+    ex = QUERIES["dedup_exact_hash"].oracle
+    rep = QUERIES["text_repetition_filter"].oracle
+    lm = QUERIES["text_unigram_lm_score"].oracle
+    cl = QUERIES["dedup_substring_cutlist"].oracle
+    return f"""
+    WITH ex AS ({ex}), rep AS ({rep}), lm AS ({lm}), cl AS ({cl}),
+    cut AS (SELECT doc_id, sum(cut_len) AS cut_tokens
+            FROM cl GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+             coalesce(cut.cut_tokens, 0) AS cut_tokens,
+             (ex.doc_id IS NOT NULL) AS p1,
+             (ex.doc_id IS NOT NULL AND rep.keep) AS p2,
+             (ex.doc_id IS NOT NULL AND rep.keep AND NOT lm.is_outlier)
+               AS p3,
+             (ex.doc_id IS NOT NULL AND rep.keep AND NOT lm.is_outlier
+              AND coalesce(cut.cut_tokens, 0) * 2
+                  <= len(string_split(d.text, ' '))) AS p4
+      FROM documents d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id
+      JOIN lm ON lm.doc_id = d.doc_id
+      LEFT JOIN cut ON cut.doc_id = d.doc_id)
+    SELECT '0_raw' AS stage, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM base
+    UNION ALL SELECT '1_exact_dedup', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p1
+    UNION ALL SELECT '2_quality', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p2
+    UNION ALL SELECT '3_lm_filter', count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM base WHERE p3
+    UNION ALL SELECT '4_substring_cut', count(*),
+           CAST(sum(n_tokens - cut_tokens) AS BIGINT) FROM base WHERE p4
+    """
+
+
+@query("pipeline_curation_funnel_cut", oracle=_funnel_cut_oracle())
+def pipeline_curation_funnel_cut(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The curation funnel WITH the substring cut-list stage (VERDICT
+    r13 item 4's consumer seam): after exact dedup → quality gates →
+    LM filter, stage ``4_substring_cut`` applies the per-document cut
+    ranges from ``dedup_substring_cutlist`` — its token count is the
+    SURVIVING tokens (n_tokens − cut_tokens: the trim a training-data
+    writer would materialize), and a document is dropped when more
+    than half its tokens sit in duplicated ranges (the Lee et al.
+    drop-or-trim policy with a 0.5 dial, integer-exact as
+    cut_tokens·2 ≤ n_tokens). Stages 0–3 report identically to
+    ``pipeline_curation_funnel``; all stage inputs remain the
+    REGISTERED operators called as functions, and the oracle nests
+    their SQL — composition checked end to end.
+
+    Scale shape: one extra LEFT join of the (tiny, span-bounded)
+    per-doc cut aggregate onto the funnel base; everything else is the
+    funnel's existing single-shuffle-per-stage plan."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    ex = (dedup_exact_hash(spark, sf_dir)
+          .select("doc_id", F.lit(True).alias("p1")))
+    rep = (text_repetition_filter(spark, sf_dir)
+           .select("doc_id", F.col("keep").alias("q_keep")))
+    lm = (text_unigram_lm_score(spark, sf_dir)
+          .select("doc_id", F.col("is_outlier").alias("lm_out")))
+    cut = (dedup_substring_cutlist(spark, sf_dir)
+           .groupBy("doc_id").agg(F.sum("cut_len").alias("cut_tokens")))
+    p1 = F.coalesce(F.col("p1"), F.lit(False))
+    p2 = p1 & F.col("q_keep")
+    p3 = p2 & ~F.col("lm_out")
+    base = (
+        d.select("doc_id",
+                 F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+        .join(ex, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .join(cut, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("cut_tokens"), F.lit(0)).alias("cut_tokens"),
+            p1.alias("p1"), p2.alias("p2"), p3.alias("p3"),
+            (p3 & (F.coalesce(F.col("cut_tokens"), F.lit(0)) * 2
+                   <= F.col("n_tokens"))).alias("p4"),
+        )
+    )
+    stages = base.select(
+        F.explode(F.array(
+            F.struct(F.lit("0_raw").alias("stage"),
+                     F.lit(True).alias("ok"),
+                     F.col("n_tokens").alias("toks")),
+            F.struct(F.lit("1_exact_dedup").alias("stage"),
+                     F.col("p1").alias("ok"),
+                     F.col("n_tokens").alias("toks")),
+            F.struct(F.lit("2_quality").alias("stage"),
+                     F.col("p2").alias("ok"),
+                     F.col("n_tokens").alias("toks")),
+            F.struct(F.lit("3_lm_filter").alias("stage"),
+                     F.col("p3").alias("ok"),
+                     F.col("n_tokens").alias("toks")),
+            F.struct(F.lit("4_substring_cut").alias("stage"),
+                     F.col("p4").alias("ok"),
+                     (F.col("n_tokens") - F.col("cut_tokens"))
+                     .alias("toks")),
+        )).alias("s"),
+    )
+    return (
+        stages.filter(F.col("s.ok"))
+        .groupBy(F.col("s.stage").alias("stage"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("s.toks").alias("n_tokens"))
     )
 
 

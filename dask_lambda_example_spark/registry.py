@@ -87,11 +87,19 @@ PRIORITY_QUERIES = (
     # loaded driver host too.
     "agg_approx_sketches", "sim_mllib_brp_join", "mm_decode_fake_images",
     "stream_rate_source_smoke", "text_bpe_train", "text_bpe_encode",
-    # r13 additions (never driver-verified yet — VERDICT r12 items 5/6):
-    # incremental IVF-PQ ingest + its post-ingest recall sign-off, and
-    # cross-document duplicated-substring spans. All three oracle-gated.
-    "sim_ivf_incremental_ingest", "sim_ivf_incremental_recall",
-    "dedup_substring_spans",
+    # r14 additions (never driver-verified yet — VERDICT r13 items
+    # 3/4/5): the incremental-ANN serving path (ADC shortlist + exact
+    # refine over the frozen+ingested index) and its recall sign-off,
+    # substring-span cut lists + the funnel stage consuming them, and
+    # perceptual image dedup. All five oracle-gated. (The r13 trio —
+    # ingest, post-ingest recall, substring spans — earned full-green
+    # rows in CORRECTNESS_r13.json and rotates out.)
+    "sim_ivf_incremental_rerank_search", "sim_ivf_incremental_rerank_recall",
+    "dedup_substring_cutlist", "dedup_image_phash",
+    "pipeline_curation_funnel_cut",
+    # REVERIFY re-earn (saturated-encode helpers lifted to module level
+    # for the rerank path — identical expressions, changed code):
+    "sim_ivf_incremental_ingest",
 )
 
 # CORRECTNESS artifacts the rotation derives its state from — pinned to
@@ -112,6 +120,7 @@ CORRECTNESS_ARTIFACTS = (
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
+    "CORRECTNESS_r13.json",
 )
 
 # Names whose implementation changed materially after their last green
@@ -124,7 +133,11 @@ CORRECTNESS_ARTIFACTS = (
 # stream_rate_source_smoke's first-batch wait — is a rows-only query
 # that re-earns its row every round by construction, so it needs no
 # REVERIFY entry.
-REVERIFY: tuple[str, ...] = ()
+# r14: sim_ivf_incremental_ingest's saturated-encode helpers were
+# lifted to module level (shared with the new rerank path). The
+# generated expressions are identical, but the code that earned the
+# r13 green row is not the code at HEAD — re-earn (ADVICE r3).
+REVERIFY: tuple[str, ...] = ("sim_ivf_incremental_ingest",)
 
 
 def _verdicts() -> dict[str, bool]:

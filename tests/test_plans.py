@@ -939,3 +939,23 @@ def test_image_phash_is_banded_equijoin(spark, sf_dir):
     joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
                        r"BroadcastHashJoin)[^\n]*", plan)
     assert joins and any("v#" in j for j in joins), joins
+
+
+def test_funnel_cut_stage_plan(spark, sf_dir):
+    # the cut-list-consuming funnel (round-14, VERDICT r13 item 4's
+    # consumer seam) must keep the funnel's join discipline: the cut
+    # aggregate joins back on doc_id like every other stage flag, no
+    # cartesian, no nested-loop join anywhere.
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    import re
+
+    df = QUERIES["pipeline_curation_funnel_cut"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # the only nested-loop joins allowed are the LM stage's bounded
+    # 1-row corpus-total attaches (broadcast Cross), present in the
+    # base funnel too — the cut stage itself must add none
+    bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert all("Cross" in b for b in bnlj), bnlj
+    assert "Expand" in plan or "Generate" in plan  # the stage explode

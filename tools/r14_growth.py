@@ -4,9 +4,13 @@ sink (full distributed plan execution, no driver materialization — the
 ledger protocol) and record the operator-specific scale evidence:
 
 - ``incr_rerank``: walls for ``sim_ivf_incremental_rerank_search`` per
-  tier plus MEAN RECALL@k of the refined serving path AND of the
-  multiprobe-only ``sim_ivf_incremental_recall`` — the recovery the
-  refine stage buys over the r13 0.21-0.25 level is the headline row.
+  tier plus MEAN RECALL@k (exact-L2 audit) of THREE paths: the
+  incremental refined serving path, the NON-incremental corpus-path
+  ``sim_ivfpq_rerank_search`` at the same 2-cell dial (the
+  apples-to-apples "corpus-path level" the refine must match — cell
+  membership bounds both identically), and the multiprobe-only
+  ``sim_ivf_incremental_recall`` (cosine audit, the r13 0.21-0.25
+  baseline row).
 - ``cutlist``: wall for ``dedup_substring_cutlist`` per tier, plus
   merged-range count and total tokens cut — the consumer stage must
   stay a small constant over the span detection it nests.
@@ -56,6 +60,49 @@ def _mean_recall(spark, name: str, sf_dir: str):
     return round(sum(r.recall_at_k for r in rows) / len(rows), 4), len(rows)
 
 
+def _mean_recall_vs_exact_l2(spark, sf_dir: str, result_df):
+    """Mean recall@PQ_TOPK of a (query_id, neighbor_id) frame against
+    exact squared-L2 brute force — the sim_pq_rerank_recall audit shape
+    applied to an arbitrary search result (used for the corpus-path
+    sim_ivfpq_rerank_search, which has no registered recall twin)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_lambda_example_spark.functions.vector import as_double, dot
+    from dask_lambda_example_spark.io import load_table
+    from dask_lambda_example_spark.operators.similarity import (
+        PQ_TOPK, _probe_filter)
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    q = (e.filter(_probe_filter())
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("emb").alias("qemb"),
+                  dot(F.col("emb"), F.col("emb")).alias("qq")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("emb").alias("cemb"),
+                 dot(F.col("emb"), F.col("emb")).alias("cc"))
+    d2 = (F.col("qq") - 2 * dot(F.col("qemb"), F.col("cemb"))
+          + F.col("cc"))
+    wrank = Window.partitionBy("query_id").orderBy(d2, F.asc("neighbor_id"))
+    exact_k = (F.broadcast(q)
+               .join(c, F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("rank", F.row_number().over(wrank))
+               .filter(F.col("rank") <= PQ_TOPK)
+               .select("query_id", "neighbor_id"))
+    hits = result_df.select("query_id",
+                            F.col("neighbor_id").alias("rn"))
+    rows = (exact_k.join(
+                hits, (exact_k.query_id == hits.query_id)
+                & (exact_k.neighbor_id == hits.rn), "left")
+            .groupBy(exact_k.query_id)
+            .agg((F.count("rn") / PQ_TOPK).alias("recall"))
+            .collect())
+    if not rows:
+        return None
+    return round(sum(r.recall for r in rows) / len(rows), 4)
+
+
 def main() -> int:
     mode = _arg("--mode")
     if mode not in MODES:
@@ -79,7 +126,14 @@ def main() -> int:
             rec["rerank_mean_recall_at_k"], rec["n_probes"] = _mean_recall(
                 spark, "sim_ivf_incremental_rerank_recall", sf_dir)
             rec["rerank_recall_wall_s"] = round(time.perf_counter() - t0, 4)
-            # the comparison point the refine must beat: multiprobe-only
+            # the apples-to-apples sign-off: the NON-incremental
+            # corpus-path rerank at the SAME 2-cell dial and metric —
+            # the incremental index must serve at parity with it (cell
+            # membership bounds both; the ingest must cost nothing)
+            rec["corpus_path_mean_recall_at_k"] = _mean_recall_vs_exact_l2(
+                spark, sf_dir,
+                QUERIES["sim_ivfpq_rerank_search"].fn(spark, sf_dir))
+            # the r13 baseline row: multiprobe-only (cosine audit)
             rec["multiprobe_mean_recall_at_k"], _ = _mean_recall(
                 spark, "sim_ivf_incremental_recall", sf_dir)
         elif mode == "cutlist":
