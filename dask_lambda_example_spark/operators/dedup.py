@@ -1905,13 +1905,16 @@ def _phash_dims():
     return gc, gr, ncells, (2 * ncells) // PHASH_BANDS
 
 
-def _phash_oracle() -> str:
+def _phash_hash_ctes() -> str:
+    """Shared oracle CTE chain pixels → cell sums → 48-bit hash: ends
+    with ``ph(doc_id, phash)``.  The pair oracle and the canonical
+    oracle both build on it, so the analytic pixel replay is written
+    exactly once."""
     from dask_lambda_example_spark.operators.multimodal import (
         PNG_H, PNG_SAMPLE_EVERY, PNG_W)
 
     gc, gr, ncells, band_bits = _phash_dims()
-    return f"""
-    WITH px AS (
+    return f"""px AS (
         SELECT d.doc_id, r.r, c.c,
                (d.doc_id * 31 + r.r * 13 + c.c * 7) % 251 AS p
         FROM documents d,
@@ -1937,7 +1940,13 @@ def _phash_oracle() -> str:
                                  << ({ncells} + n.cr * {gc} + n.cc))
                            ELSE 0 END) AS BIGINT) AS phash
            FROM nb n JOIN tot t USING (doc_id)
-           GROUP BY n.doc_id),
+           GROUP BY n.doc_id)"""
+
+
+def _phash_oracle() -> str:
+    _, _, _, band_bits = _phash_dims()
+    return f"""
+    WITH {_phash_hash_ctes()},
     bd AS (SELECT doc_id, phash, b,
                   (phash >> ({band_bits} * b)) & {(1 << band_bits) - 1} AS v
            FROM ph, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1}))
@@ -1950,21 +1959,11 @@ def _phash_oracle() -> str:
     """
 
 
-@query("dedup_image_phash", oracle=_phash_oracle())
-def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate image pairs (doc_a, doc_b, hamming):
-    REAL PNG decode → average-pool → 24-bit aHash ∥ 24-bit dHash →
-    band-keyed candidate join → Hamming ≤ {HAM} filter. See the
-    section comment for the construction and 100 TB posture; the
-    oracle replays pixels → cell sums → bits → bands → pairs
-    analytically (the generating arithmetic of ``make_png_bytes``),
-    so the decode path is value-checked end to end, banding recall
-    included.
-
-    Reference seam: the reference ships opaque objects through S3 and
-    computes on the cluster (``layer/python/dask_processing.py:26-27``);
-    image near-dup is that contract applied to a binary media column.
-    """
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) over the sampled documents: REAL PNG decode →
+    average-pool → 24-bit aHash ∥ 24-bit dHash.  Shared by the pair
+    emitter and the canonical-assignment consumer; image bytes never
+    leave the mapInPandas pass."""
     from typing import Iterator
 
     import pandas as pd
@@ -1972,7 +1971,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lambda_example_spark.operators.multimodal import (
         PNG_SAMPLE_EVERY, decode_png_gray8, make_png_bytes)
 
-    gcols, grows, ncells, band_bits = _phash_dims()
+    gcols, grows, ncells, _ = _phash_dims()
 
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % PNG_SAMPLE_EVERY == 0)
@@ -2009,7 +2008,26 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(h)
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
-    hashes = clips.mapInPandas(phash, "doc_id long, phash long")
+    return clips.mapInPandas(phash, "doc_id long, phash long")
+
+
+@query("dedup_image_phash", oracle=_phash_oracle())
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs (doc_a, doc_b, hamming):
+    REAL PNG decode → average-pool → 24-bit aHash ∥ 24-bit dHash →
+    band-keyed candidate join → Hamming ≤ {HAM} filter. See the
+    section comment for the construction and 100 TB posture; the
+    oracle replays pixels → cell sums → bits → bands → pairs
+    analytically (the generating arithmetic of ``make_png_bytes``),
+    so the decode path is value-checked end to end, banding recall
+    included.
+
+    Reference seam: the reference ships opaque objects through S3 and
+    computes on the cluster (``layer/python/dask_processing.py:26-27``);
+    image near-dup is that contract applied to a binary media column.
+    """
+    _, _, _, band_bits = _phash_dims()
+    hashes = _phash_hashes(spark, sf_dir)
 
     bands_arr = F.array(*[
         F.struct(
@@ -2037,3 +2055,279 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_image_phash.__doc__ = dedup_image_phash.__doc__.format(
     HAM=PHASH_HAM_MAX)
+
+
+# ---------------------------------------------------------------------------
+# canonical-assignment consumers (round 14) — the CONSTANT-OUTPUT form
+# of perceptual dedup. A pair emitter over a corpus with duplicate
+# classes of size m inherently writes Σ m² rows (the output-bound
+# physics GROWTH_r14_image_phash.json prices); the production decision
+# a curation funnel needs is one row per object: "which earlier object
+# do I defer to?".  The bucket-min scheme keeps that O(n):
+#
+#   1. band the fingerprint into equi-join keys (same LSH banding as
+#      the pair emitters),
+#   2. per (band, value) bucket take the MIN doc_id and ITS fingerprint
+#      (one aggregation — buckets never expand into pairs),
+#   3. each object meets only its ≤ N_BANDS bucket minima (a second
+#      equi-join with constant fan-out), pays the Hamming check against
+#      those candidates alone, and keeps the smallest passing one,
+#   4. objects with no passing candidate are their own canonical.
+#
+# This is single-pass LSH canonicalization (the "leader" variant of
+# the dedup_cluster_cc pattern): NOT transitive-closure — a chain
+# a~b~c with a≁c keeps b→a, c→a only if c shares a bucket with a —
+# but it is deterministic, oracle-replicable, and the form that stays
+# bounded when a 100 TB corpus concentrates duplicates (20 k copies of
+# a logo = 20 k rows out, not 200 M pairs).  Full transitivity, when
+# wanted, is dedup_cluster_cc over the pair emitter's output.
+# ---------------------------------------------------------------------------
+
+
+def _banded_canonical(hashes: DataFrame, n_bands: int, band_bits: int,
+                      ham_max: int) -> DataFrame:
+    """(doc_id, fingerprint, canonical, hamming) from an LSH-banded
+    bucket-min pass over ``hashes(doc_id, fp)`` — O(n) output, constant
+    join fan-out (≤ ``n_bands`` candidates per object)."""
+    mask = (1 << band_bits) - 1
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftrightunsigned(F.col("fp"), band_bits * b)
+                  .bitwiseAND(mask).alias("v"))
+        for b in range(n_bands)])
+    bd = (hashes.select("doc_id", "fp", F.explode(bands_arr).alias("bv"))
+                .select("doc_id", "fp", F.col("bv.b").alias("b"),
+                        F.col("bv.v").alias("v")))
+    bm = bd.groupBy("b", "v").agg(
+        F.min("doc_id").alias("m_doc"),
+        F.min_by("fp", "doc_id").alias("m_fp"))
+    ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("m.m_fp"))).cast("int")
+    cand = (bd.alias("x")
+              .join(bm.alias("m"), (F.col("m.b") == F.col("x.b"))
+                    & (F.col("m.v") == F.col("x.v"))
+                    & (F.col("m.m_doc") < F.col("x.doc_id")))
+              .select(F.col("x.doc_id").alias("doc_id"),
+                      F.col("m.m_doc").alias("m_doc"), ham.alias("ham"))
+              .filter(F.col("ham") <= ham_max))
+    canon = cand.groupBy("doc_id").agg(
+        F.min("m_doc").alias("c_doc"),
+        F.min_by("ham", "m_doc").alias("c_ham"))
+    return (hashes.join(canon, "doc_id", "left")
+                  .select("doc_id", F.col("fp").alias("fingerprint"),
+                          F.coalesce("c_doc", "doc_id").alias("canonical"),
+                          F.coalesce("c_ham", F.lit(0)).cast("int")
+                           .alias("hamming")))
+
+
+def _canonical_sql_suffix(n_bands: int, band_bits: int, ham_max: int) -> str:
+    """Oracle tail replicating ``_banded_canonical`` over a CTE
+    ``hv(doc_id, fp)``; composes after any fingerprint-producing CTE
+    chain (image pixels, audio blocks)."""
+    mask = (1 << band_bits) - 1
+    return f"""
+    bdc AS (SELECT doc_id, fp, b,
+                   (fp >> ({band_bits} * b)) & {mask} AS v
+            FROM hv, (SELECT unnest(generate_series(0, {n_bands - 1}))
+                      AS b) bs),
+    bm AS (SELECT b, v, min(doc_id) AS m_doc, min_by(fp, doc_id) AS m_fp
+           FROM bdc GROUP BY b, v),
+    cand AS (SELECT x.doc_id, m.m_doc,
+                    CAST(bit_count(xor(x.fp, m.m_fp)) AS INT) AS ham
+             FROM bdc x JOIN bm m ON m.b = x.b AND m.v = x.v
+                                 AND m.m_doc < x.doc_id
+             WHERE bit_count(xor(x.fp, m.m_fp)) <= {ham_max}),
+    canon AS (SELECT doc_id, min(m_doc) AS c_doc,
+                     min_by(ham, m_doc) AS c_ham
+              FROM cand GROUP BY doc_id)
+    SELECT h.doc_id, h.fp AS fingerprint,
+           coalesce(c.c_doc, h.doc_id) AS canonical,
+           CAST(coalesce(c.c_ham, 0) AS INT) AS hamming
+    FROM hv h LEFT JOIN canon c USING (doc_id)
+    """
+
+
+def _phash_canonical_oracle() -> str:
+    _, _, _, band_bits = _phash_dims()
+    return f"""
+    WITH {_phash_hash_ctes()},
+    hv AS (SELECT doc_id, phash AS fp FROM ph),
+    {_canonical_sql_suffix(PHASH_BANDS, band_bits, PHASH_HAM_MAX)}
+    """
+
+
+@query("dedup_image_phash_canonical", oracle=_phash_canonical_oracle())
+def dedup_image_phash_canonical(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Canonical assignment per sampled image (doc_id, fingerprint,
+    canonical, hamming): the constant-output consumer of the
+    ``dedup_image_phash`` fingerprints — each image defers to the
+    smallest doc_id within Hamming ≤ {HAM} that shares an LSH band
+    bucket, or to itself.  One row per image at EVERY duplicate-class
+    profile: the form that survives a 100 TB corpus with 20 k-copy
+    duplicate classes where the pair emitter's output is quadratic
+    (see the section comment and GROWTH_r14_image_phash.json).
+
+    Reference seam: the reference ships opaque objects through S3 and
+    computes on the cluster (``layer/python/dask_processing.py:26-27``);
+    canonicalization is the curation decision that contract feeds.
+    """
+    _, _, _, band_bits = _phash_dims()
+    hashes = _phash_hashes(spark, sf_dir).select(
+        "doc_id", F.col("phash").alias("fp"))
+    return _banded_canonical(hashes, PHASH_BANDS, band_bits, PHASH_HAM_MAX)
+
+
+dedup_image_phash_canonical.__doc__ = \
+    dedup_image_phash_canonical.__doc__.format(HAM=PHASH_HAM_MAX)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup (round 14) — the audio × dedup intersection,
+# completing the modality set (text: MinHash/SimHash/substring; image:
+# dedup_image_phash; audio: this).  Chromaprint-style construction over
+# REAL RIFF/WAVE files: each sampled document carries a PCM clip
+# (stdlib ``wave`` writer — genuine container: RIFF header, fmt chunk,
+# frame bytes) whose waveform is a 32-block step wave; the fingerprint
+# pass PARSES the container back (stdlib ``wave`` reader — chunk walk,
+# fmt header, frame decode), pools the PCM into per-block energies,
+# and takes one bit per block for energy-vs-clip-mean (the aHash
+# analog) plus one per adjacent-block comparison (the dHash analog,
+# 31 bits) → a 63-bit fingerprint.  All comparisons are INTEGER-EXACT
+# (block sums, cross-multiplied means), so the analytic oracle replays
+# every bit from the generating arithmetic — decode, pooling, banding,
+# and the bucket-min canonicalization are all value-checked.
+#
+# The waveform arithmetic puts each clip in one of AFP_CLASSES base
+# classes plus a doc-dependent "spike" block: same class + same spike
+# → identical fingerprint (Hamming 0); same class + different spike →
+# ≤ 6 differing bits (true NEAR-duplicates, exercised from sf0.01 up);
+# cross-class → far.  Output is canonical-assignment (one row per
+# clip, the constant-output form above), so the operator's output is
+# O(clips) at every tier even though class sizes grow linearly.
+#
+# Scale posture: audio bytes never shuffle (synthesis + decode are
+# per-object mapInPandas passes; only (doc_id, 63-bit fp) leaves);
+# the banding join is |clips| × AFP_BANDS short rows; the bucket-min
+# aggregation and candidate join are both keyed equi-ops.
+# ---------------------------------------------------------------------------
+
+AFP_SAMPLE_EVERY = 25   # fingerprint every 25th document's clip
+AFP_BLOCKS = 32         # step-wave blocks per clip (→ 32+31 fp bits)
+AFP_BLOCK = 64          # PCM samples per block
+AFP_RATE = 8000         # sample rate written into the WAV header
+AFP_CLASSES = 13        # base waveform classes (near-dup structure)
+AFP_HAM_MAX = 8         # canonical-assignment Hamming bound
+AFP_BANDS = 7           # LSH bands over the 63-bit fingerprint
+AFP_BAND_BITS = 9       # bits per band (7 × 9 = 63)
+
+
+def _afp_oracle() -> str:
+    return f"""
+    WITH lv AS (
+        SELECT d.doc_id, k.k,
+               ((d.doc_id % {AFP_CLASSES}) * 37 + k.k * 11) % 241 - 120
+               + CASE WHEN k.k = d.doc_id % {AFP_BLOCKS} THEN 90
+                 ELSE 0 END AS lvl
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {AFP_BLOCKS - 1})) AS k) k
+        WHERE d.doc_id % {AFP_SAMPLE_EVERY} = 0),
+    tot AS (SELECT doc_id, sum(lvl) AS tot FROM lv GROUP BY doc_id),
+    nb AS (SELECT a.doc_id, a.k, a.lvl, b.lvl AS lvln
+           FROM lv a LEFT JOIN lv b
+             ON b.doc_id = a.doc_id AND b.k = a.k + 1),
+    fp0 AS (SELECT n.doc_id, CAST(
+              sum(CASE WHEN n.lvl * {AFP_BLOCKS} > t.tot
+                  THEN (CAST(1 AS BIGINT) << n.k) ELSE 0 END)
+            + sum(CASE WHEN n.lvln IS NOT NULL AND n.lvl > n.lvln
+                  THEN (CAST(1 AS BIGINT) << ({AFP_BLOCKS} + n.k))
+                  ELSE 0 END) AS BIGINT) AS fp
+            FROM nb n JOIN tot t USING (doc_id)
+            GROUP BY n.doc_id),
+    hv AS (SELECT doc_id, fp FROM fp0),
+    {_canonical_sql_suffix(AFP_BANDS, AFP_BAND_BITS, AFP_HAM_MAX)}
+    """
+
+
+@query("dedup_audio_fingerprint", oracle=_afp_oracle())
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio canonicalization (doc_id, fingerprint,
+    canonical, hamming): REAL RIFF/WAVE synthesis → stdlib ``wave``
+    container parse → per-block energy pooling → 63-bit
+    energy-sign fingerprint → LSH-banded bucket-min canonical
+    assignment at Hamming ≤ {HAM}.  See the section comment for the
+    construction, the near-dup structure, and the 100 TB posture.
+
+    Reference seam: the reference ships opaque objects through S3 and
+    computes on the cluster (``layer/python/dask_processing.py:26-27``);
+    audio near-dup is that contract applied to a binary media column,
+    exactly as ``dedup_image_phash`` is for images.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % AFP_SAMPLE_EVERY == 0)
+         .select("doc_id"))
+
+    def synth(batches: Iterator[pd.DataFrame], _nb=AFP_BLOCKS,
+              _bs=AFP_BLOCK, _rate=AFP_RATE, _nc=AFP_CLASSES
+              ) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def wav_bytes(doc_id: int) -> bytes:
+            k = np.arange(_nb, dtype=np.int64)
+            lvl = ((doc_id % _nc) * 37 + k * 11) % 241 - 120
+            lvl[doc_id % _nb] += 90
+            pcm = np.repeat(lvl, _bs).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_rate)
+                w.writeframes(pcm.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "wav": [wav_bytes(int(i)) for i in pdf["doc_id"]],
+            })
+
+    clips = d.mapInPandas(synth, "doc_id long, wav binary")
+
+    def fingerprint(batches: Iterator[pd.DataFrame], _nb=AFP_BLOCKS,
+                    _bs=AFP_BLOCK) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(raw)), "rb") as w:
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2"
+                                        ).astype(np.int64)
+                s = pcm.reshape(_nb, _bs).sum(axis=1)  # = AFP_BLOCK·lvl_k
+                tot = int(s.sum())
+                h = 0
+                for k in range(_nb):
+                    if int(s[k]) * _nb > tot:            # energy-vs-mean
+                        h |= 1 << k
+                    if k < _nb - 1 and s[k] > s[k + 1]:  # adjacent-diff
+                        h |= 1 << (_nb + k)
+                ids.append(doc_id)
+                fps.append(h)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    hashes = clips.mapInPandas(fingerprint, "doc_id long, fp long")
+    return _banded_canonical(hashes, AFP_BANDS, AFP_BAND_BITS, AFP_HAM_MAX)
+
+
+dedup_audio_fingerprint.__doc__ = \
+    dedup_audio_fingerprint.__doc__.format(HAM=AFP_HAM_MAX)

@@ -97,6 +97,13 @@ PRIORITY_QUERIES = (
     "sim_ivf_incremental_rerank_search", "sim_ivf_incremental_rerank_recall",
     "dedup_substring_cutlist", "dedup_image_phash",
     "pipeline_curation_funnel_cut",
+    # r14 second wave (never driver-verified yet): the constant-output
+    # canonical-assignment consumer over the image fingerprints (the
+    # at-scale form GROWTH_r14_image_phash.json's output-physics note
+    # calls for) and the audio × dedup intersection (real RIFF/WAVE
+    # parse → 63-bit energy-sign fingerprint → the same bucket-min
+    # canonicalization). Both oracle-gated.
+    "dedup_image_phash_canonical", "dedup_audio_fingerprint",
     # REVERIFY re-earn (saturated-encode helpers lifted to module level
     # for the rerank path — identical expressions, changed code):
     "sim_ivf_incremental_ingest",

@@ -959,3 +959,27 @@ def test_funnel_cut_stage_plan(spark, sf_dir):
     bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
     assert all("Cross" in b for b in bnlj), bnlj
     assert "Expand" in plan or "Generate" in plan  # the stage explode
+
+
+def test_canonical_consumers_are_bucket_min_equijoins(spark, sf_dir):
+    # round-14 second wave: the canonical-assignment consumers (image
+    # phash canonical + audio fingerprint) must stay O(n)-output
+    # bucket-min passes — candidates only from the (band, value)
+    # equi-join against the bucket-minimum aggregate, never all-pairs:
+    # no cartesian, no nested-loop join, and both the candidate join
+    # and the final attach keyed equi-joins.
+    import re
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    for name in ("dedup_image_phash_canonical", "dedup_audio_fingerprint"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert_no_cartesian(df)
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
+                           r"BroadcastHashJoin)[^\n]*", plan)
+        # band-value candidate join + the doc_id left attach
+        assert any("v#" in j for j in joins), (name, joins)
+        assert any("doc_id#" in j and "LeftOuter" in j
+                   for j in joins), (name, joins)

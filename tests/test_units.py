@@ -2038,3 +2038,66 @@ def test_cutlist_interval_merge_reference():
     assert merge(spans) == [(5, 20, 3), (25, 28, 5), (30, 40, 2)]
     assert merge([(1, 3, 4), (5, 6, 1)]) == [(1, 3, 4), (5, 6, 1)]
     assert merge([(1, 3, 4), (4, 6, 1)]) == [(1, 6, 1)]
+
+
+def test_audio_fingerprint_decode_matches_generating_arithmetic():
+    # the 63-bit audio fingerprint computed from the REAL RIFF/WAVE
+    # round-trip (stdlib wave writer → stdlib wave parser → block
+    # pooling) must equal the bits derived directly from the generating
+    # block-level arithmetic — the relationship the DuckDB oracle
+    # relies on — checked without Spark for a spread of doc_ids.
+    import io
+    import wave
+
+    import numpy as np
+
+    from dask_lambda_example_spark.operators.dedup import (
+        AFP_BLOCK, AFP_BLOCKS, AFP_CLASSES, AFP_RATE)
+
+    def lvl(doc_id: int):
+        k = np.arange(AFP_BLOCKS, dtype=np.int64)
+        v = ((doc_id % AFP_CLASSES) * 37 + k * 11) % 241 - 120
+        v[doc_id % AFP_BLOCKS] += 90
+        return v
+
+    def bits(s) -> int:
+        tot = int(s.sum())
+        h = 0
+        for k in range(AFP_BLOCKS):
+            if int(s[k]) * AFP_BLOCKS > tot:
+                h |= 1 << k
+            if k < AFP_BLOCKS - 1 and s[k] > s[k + 1]:
+                h |= 1 << (AFP_BLOCKS + k)
+        return h
+
+    def fp_analytic(doc_id: int) -> int:
+        return bits(lvl(doc_id))
+
+    def fp_decoded(doc_id: int) -> int:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(AFP_RATE)
+            w.writeframes(np.repeat(lvl(doc_id), AFP_BLOCK)
+                          .astype("<i2").tobytes())
+        buf.seek(0)
+        with wave.open(buf, "rb") as w:
+            assert (w.getnchannels(), w.getsampwidth(),
+                    w.getframerate()) == (1, 2, AFP_RATE)
+            pcm = np.frombuffer(w.readframes(w.getnframes()),
+                                dtype="<i2").astype(np.int64)
+        return bits(pcm.reshape(AFP_BLOCKS, AFP_BLOCK).sum(axis=1))
+
+    for doc_id in [0, 25, 50, 325, 407, 2500, 10400, 99925]:
+        assert fp_decoded(doc_id) == fp_analytic(doc_id), doc_id
+
+    # near-dup structure the AFP_HAM_MAX dial relies on:
+    # same base class (mod AFP_CLASSES) + same spike (mod AFP_BLOCKS)
+    # → identical fingerprint; same class + different spike → a true
+    # near-duplicate, 0 < Hamming ≤ 6 (≤ 2 energy bits + ≤ 4 diff
+    # bits); both shapes occur among sampled doc_ids from sf0.01 up.
+    same = fp_analytic(0) ^ fp_analytic(25 * AFP_CLASSES * AFP_BLOCKS)
+    assert same == 0
+    near = fp_analytic(0) ^ fp_analytic(25 * AFP_CLASSES)
+    assert 0 < bin(near).count("1") <= 6

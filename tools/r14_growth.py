@@ -38,7 +38,7 @@ sys.path.insert(0, str(REPO))
 from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded  # noqa: E402
 from dask_lambda_example_spark.session import get_spark  # noqa: E402
 
-MODES = ("incr_rerank", "cutlist", "image_phash")
+MODES = ("incr_rerank", "cutlist", "image_phash", "audio_canonical")
 
 
 def _arg(flag: str, default: str | None = None) -> str | None:
@@ -144,6 +144,23 @@ def main() -> int:
             rec["n_ranges"] = len(rows)
             rec["n_docs_cut"] = len({r.doc_id for r in rows})
             rec["tokens_cut"] = int(sum(r.cut_len for r in rows))
+        elif mode == "audio_canonical":
+            # round-14 second wave: both canonical-assignment consumers
+            # must emit O(n) rows (one per object) at EVERY tier — the
+            # contrast with the pair emitter's Σ class² output — and
+            # the wall must track the decode pass, not class sizes.
+            from pyspark.sql import functions as F
+
+            for qname, key in (("dedup_image_phash_canonical", "img"),
+                               ("dedup_audio_fingerprint", "audio")):
+                rec[f"{key}_wall_s"] = _timed_noop(spark, qname, sf_dir)
+                out_df = QUERIES[qname].fn(spark, sf_dir)
+                agg = out_df.agg(
+                    F.count("*").alias("n"),
+                    F.sum((F.col("canonical") != F.col("doc_id"))
+                          .cast("long")).alias("dups")).collect()[0]
+                rec[f"{key}_n_rows"] = int(agg["n"])
+                rec[f"{key}_n_deduped"] = int(agg["dups"] or 0)
         else:  # image_phash
             from pyspark.sql import functions as F
 
