@@ -535,15 +535,31 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark primitives: a codegen'd bit-interleave expression +
     ``repartitionByRange`` on the z-value + ``sortWithinPartitions``.
 
+    Files are EXACT quad-tree blocks: the writer partitions by the top
+    4 z bits (a 4×4 grid over the normalized 2-D key space), NOT by
+    ``repartitionByRange(z)``.  Range partitioning derives boundaries
+    from sampled quantiles, and with equal-mass blocks the true
+    quantiles sit exactly ON the block edges — so sampling noise
+    pushes every boundary strictly inside a block, each file straddles
+    two blocks, and one straddling row is enough to poison the file's
+    min/max span (footer stats are absolute).  That made the measured
+    contract below a coin flip around its own threshold (the r14 sf0.1
+    ledger caught it: 3/16 skippable after five green rounds, with the
+    sampling seeds shifted by battery order alone).  Explicit block
+    ids make file spans deterministic: each file covers exactly one
+    p-quarter × s-quarter.
+
     The contract is measured from the parquet footers, not asserted
     from theory: for the central 10% band of each dimension's domain,
     the fraction of files whose per-file [min, max] excludes the band
-    must be ≥ 25% for BOTH dimensions (with 16 files ~ a 4x4 quad
-    grid, the expected skip is ~75% per dimension; a linear sort gives
-    ~94% on its own column and 0% on the other). Violations raise —
-    the oracle row additionally pins bit-level data preservation.
-    At 100 TB this is the nightly clustering rewrite that serves range
-    scans on two access paths from one copy of the data."""
+    must be ≥ 25% for BOTH dimensions (exact quad blocks give 8/16 =
+    50% per dimension deterministically — the 8 files in the two outer
+    quarters; a linear sort gives ~94% on its own column and 0% on the
+    other). Violations raise — the oracle row additionally pins
+    bit-level data preservation. At 100 TB this is the nightly
+    clustering rewrite that serves range scans on two access paths
+    from one copy of the data, with more block bits per tier of file
+    count."""
     import pyarrow.parquet as pq
 
     path = _dir("zorder")
@@ -551,20 +567,26 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
     pk_rng = _footer_minmax(sf_dir, "lineitem", "l_partkey")
     sk_rng = _footer_minmax(sf_dir, "lineitem", "l_suppkey")
+    # top-4 z bits = the 4x4 quad grid; one hive directory per block,
+    # one task per block (the repartition co-locates each block), so
+    # exactly one file per block — deterministic spans, no sampling.
     (li.withColumn("z", zorder_key(F.col("l_partkey"), pk_rng,
                                    F.col("l_suppkey"), sk_rng))
-       .repartitionByRange(N_ZORDER_FILES, "z")
-       .sortWithinPartitions("z")
+       .withColumn("zb", F.shiftrightunsigned(
+           F.col("z"), 2 * ZORDER_BITS - 4).cast("int"))
+       .repartition(N_ZORDER_FILES, "zb")
+       .sortWithinPartitions("zb", "z")
        .drop("z")
-       .write.mode("overwrite").parquet(path))
+       .write.mode("overwrite").partitionBy("zb").parquet(path))
 
     local = path.removeprefix("file://")
     spans: dict[str, list[tuple[int, int]]] = {"l_partkey": [],
                                                "l_suppkey": []}
-    for f in sorted(os.listdir(local)):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.read_metadata(os.path.join(local, f))
+    part_files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(local) for f in fs
+        if f.endswith(".parquet"))
+    for f in part_files:
+        md = pq.read_metadata(f)
         for col, acc in spans.items():
             idx = md.schema.names.index(col)
             sts = [md.row_group(i).column(idx).statistics
