@@ -455,6 +455,7 @@ def fmt_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_ZORDER_FILES = 16
 ZORDER_BITS = 16        # bits per dimension; 2x16 = 32-bit z fits a long
+ZORDER_BLOCK_BITS = 8   # file-boundary quantization: top-8 z bits = 16x16 grid
 
 
 def _footer_minmax(sf_dir: str, table: str, column: str) -> tuple[int, int]:
@@ -535,31 +536,42 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark primitives: a codegen'd bit-interleave expression +
     ``repartitionByRange`` on the z-value + ``sortWithinPartitions``.
 
-    Files are EXACT quad-tree blocks: the writer partitions by the top
-    4 z bits (a 4×4 grid over the normalized 2-D key space), NOT by
-    ``repartitionByRange(z)``.  Range partitioning derives boundaries
-    from sampled quantiles, and with equal-mass blocks the true
-    quantiles sit exactly ON the block edges — so sampling noise
-    pushes every boundary strictly inside a block, each file straddles
-    two blocks, and one straddling row is enough to poison the file's
-    min/max span (footer stats are absolute).  That made the measured
-    contract below a coin flip around its own threshold (the r14 sf0.1
-    ledger caught it: 3/16 skippable after five green rounds, with the
-    sampling seeds shifted by battery order alone).  Explicit block
-    ids make file spans deterministic: each file covers exactly one
-    p-quarter × s-quarter.
+    Files are QUANTIZED z-ranges: the writer range-partitions on the
+    top-8-bit z block id (a 16×16 fine quad grid), NOT on raw ``z``.
+    Raw-z range partitioning derives boundaries from sampled
+    quantiles, and with equal-mass quad blocks the true quantiles sit
+    exactly ON the block edges — the degenerate point for a sampler —
+    so noise pushes every boundary strictly inside a block, each file
+    straddles two blocks, and ONE straddling row poisons the file's
+    absolute min/max footer span.  That made the measured contract
+    below a coin flip around its own threshold (the r14 sf0.1 ledger
+    caught it: 3/16 skippable after five green rounds, the sampling
+    seeds shifted by battery order alone).  A DISCRETE 256-value block
+    id fixes it: range bounds are block-id values, so partition edges
+    land BETWEEN fine blocks, never inside — every file is a union of
+    whole 1/16-extent quad cells and its span is quantized.  Under
+    maximal boundary-sampling noise the per-dimension skip count for
+    the central band stays ≥ 6/16 (only the run-boundary files whose
+    next-in-z fine cells enter the band's quarter can lose
+    skippability), comfortably over the gate.  Equal-MASS splitting of
+    the discrete ids also keeps all 16 writers busy when the two keys
+    are CORRELATED (a diagonal key space populates only ~6 of the 16
+    coarse blocks — the builder's replica-constructed sf10 tier does
+    exactly this, and real part/supplier keys correlate too): an
+    explicit coarse-block partitioning lost 5× write parallelism
+    there, while quantized ranges keep 16 equal-mass files of
+    contiguous diagonal cells.
 
     The contract is measured from the parquet footers, not asserted
     from theory: for the central 10% band of each dimension's domain,
     the fraction of files whose per-file [min, max] excludes the band
-    must be ≥ 25% for BOTH dimensions (exact quad blocks give 8/16 =
-    50% per dimension deterministically — the 8 files in the two outer
-    quarters; a linear sort gives ~94% on its own column and 0% on the
-    other). Violations raise — the oracle row additionally pins
-    bit-level data preservation. At 100 TB this is the nightly
-    clustering rewrite that serves range scans on two access paths
-    from one copy of the data, with more block bits per tier of file
-    count."""
+    must be ≥ 25% for BOTH dimensions (aligned quad quarters give
+    8/16 = 50% per dimension; a linear sort gives ~94% on its own
+    column and 0% on the other). Violations raise — the oracle row
+    additionally pins bit-level data preservation. At 100 TB this is
+    the nightly clustering rewrite that serves range scans on two
+    access paths from one copy of the data, with more block bits per
+    tier of file count."""
     import pyarrow.parquet as pq
 
     path = _dir("zorder")
@@ -567,17 +579,17 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
     pk_rng = _footer_minmax(sf_dir, "lineitem", "l_partkey")
     sk_rng = _footer_minmax(sf_dir, "lineitem", "l_suppkey")
-    # top-4 z bits = the 4x4 quad grid; one hive directory per block,
-    # one task per block (the repartition co-locates each block), so
-    # exactly one file per block — deterministic spans, no sampling.
+    # top-8 z bits = the 16x16 fine quad grid; equal-mass range split
+    # over the DISCRETE block ids (bounds land between blocks, never
+    # inside — see the docstring), z tie-broken within each file.
     (li.withColumn("z", zorder_key(F.col("l_partkey"), pk_rng,
                                    F.col("l_suppkey"), sk_rng))
        .withColumn("zb", F.shiftrightunsigned(
-           F.col("z"), 2 * ZORDER_BITS - 4).cast("int"))
-       .repartition(N_ZORDER_FILES, "zb")
+           F.col("z"), 2 * ZORDER_BITS - ZORDER_BLOCK_BITS).cast("int"))
+       .repartitionByRange(N_ZORDER_FILES, "zb")
        .sortWithinPartitions("zb", "z")
-       .drop("z")
-       .write.mode("overwrite").partitionBy("zb").parquet(path))
+       .drop("z", "zb")
+       .write.mode("overwrite").parquet(path))
 
     local = path.removeprefix("file://")
     spans: dict[str, list[tuple[int, int]]] = {"l_partkey": [],
