@@ -104,6 +104,10 @@ PRIORITY_QUERIES = (
     # parse → 63-bit energy-sign fingerprint → the same bucket-min
     # canonicalization). Both oracle-gated.
     "dedup_image_phash_canonical", "dedup_audio_fingerprint",
+    # r14 third wave: video × dedup — spatio-temporal fingerprint over
+    # the REAL MJPEG demux + JPEG decode, same bucket-min canonical
+    # form; closes the text/image/audio/video modality matrix.
+    "dedup_video_fingerprint",
     # REVERIFY re-earn (saturated-encode helpers lifted to module level
     # for the rerank path — identical expressions, changed code):
     "sim_ivf_incremental_ingest",

@@ -972,7 +972,8 @@ def test_canonical_consumers_are_bucket_min_equijoins(spark, sf_dir):
 
     from dask_lambda_example_spark.plans.inspect import physical_plan
 
-    for name in ("dedup_image_phash_canonical", "dedup_audio_fingerprint"):
+    for name in ("dedup_image_phash_canonical", "dedup_audio_fingerprint",
+                 "dedup_video_fingerprint"):
         df = QUERIES[name].fn(spark, sf_dir)
         assert_no_cartesian(df)
         plan = physical_plan(df)

@@ -2101,3 +2101,55 @@ def test_audio_fingerprint_decode_matches_generating_arithmetic():
     assert same == 0
     near = fp_analytic(0) ^ fp_analytic(25 * AFP_CLASSES)
     assert 0 < bin(near).count("1") <= 6
+
+
+def test_video_fingerprint_decode_matches_generating_arithmetic():
+    # the 56-bit spatio-temporal video fingerprint computed from the
+    # REAL compressed pipeline (MJPEG AVI synthesis → RIFF demux →
+    # baseline-JPEG Huffman/zigzag/dequant decode → group energies)
+    # must equal the bits derived directly from the generating
+    # coefficient arithmetic — the relationship the DuckDB oracle
+    # relies on — checked without Spark for a spread of doc_ids.
+    import numpy as np
+
+    from dask_lambda_example_spark.operators.dedup import (
+        video_fingerprint_bits)
+    from dask_lambda_example_spark.operators.jpegcodec import (
+        decode_jpeg_gray8)
+    from dask_lambda_example_spark.operators.multimodal import (
+        JPG_BLOCKS, MJPG_N_FRAMES, demux_avi_frames, make_mjpeg_avi_bytes)
+
+    def v_analytic(doc_id: int):
+        v = np.zeros((MJPG_N_FRAMES, 4), dtype=np.int64)
+        for f in range(MJPG_N_FRAMES):
+            s = doc_id * 101 + f * 37
+            for b in range(JPG_BLOCKS):
+                dcq = (s * 7 + b * 5) % 21 - 10
+                if (s + b) % 4 == 0:
+                    a1 = a2 = 0
+                    k1 = k2 = 0
+                else:
+                    k1 = 1 + (s + b) % 5
+                    a1 = (s * 11 + b * 3) % 15 - 7
+                    k2 = 20 + (s * 3 + b * 7) % 30
+                    a2 = (s * 13 + b) % 9 - 4
+                v[f, b % 4] += dcq * 32 + k1 * a1 + k2 * a2
+        return v
+
+    def v_decoded(doc_id: int):
+        kw = np.arange(64, dtype=np.int64)
+        _, _, n, frames = demux_avi_frames(make_mjpeg_avi_bytes(doc_id))
+        assert n == MJPG_N_FRAMES
+        v = np.zeros((n, 4), dtype=np.int64)
+        for f in range(n):
+            _, _, zq, _ = decode_jpeg_gray8(bytes(frames[f]))
+            for g in range(4):
+                zg = zq[g::4]
+                v[f, g] = int(zg[:, 0].sum()) * 32 + int((zg * kw).sum())
+        return v
+
+    for doc_id in [0, 50, 100, 450, 900, 9000, 99950]:
+        va, vd = v_analytic(doc_id), v_decoded(doc_id)
+        assert (va == vd).all(), (doc_id, va, vd)
+        assert video_fingerprint_bits(vd, MJPG_N_FRAMES) == \
+            video_fingerprint_bits(va, MJPG_N_FRAMES)

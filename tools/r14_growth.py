@@ -38,7 +38,8 @@ sys.path.insert(0, str(REPO))
 from dask_lambda_example_spark.registry import QUERIES, _ensure_loaded  # noqa: E402
 from dask_lambda_example_spark.session import get_spark  # noqa: E402
 
-MODES = ("incr_rerank", "cutlist", "image_phash", "audio_canonical")
+MODES = ("incr_rerank", "cutlist", "image_phash", "audio_canonical",
+         "video_fingerprint")
 
 
 def _arg(flag: str, default: str | None = None) -> str | None:
@@ -144,6 +145,20 @@ def main() -> int:
             rec["n_ranges"] = len(rows)
             rec["n_docs_cut"] = len({r.doc_id for r in rows})
             rec["tokens_cut"] = int(sum(r.cut_len for r in rows))
+        elif mode == "video_fingerprint":
+            # video × dedup: O(n) canonical output; the wall is the
+            # per-clip demux + 6-frame JPEG decode, nothing corpus-wide
+            from pyspark.sql import functions as F
+
+            rec["wall_s"] = _timed_noop(
+                spark, "dedup_video_fingerprint", sf_dir)
+            out_df = QUERIES["dedup_video_fingerprint"].fn(spark, sf_dir)
+            agg = out_df.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("canonical") != F.col("doc_id"))
+                      .cast("long")).alias("dups")).collect()[0]
+            rec["n_rows"] = int(agg["n"])
+            rec["n_deduped"] = int(agg["dups"] or 0)
         elif mode == "audio_canonical":
             # round-14 second wave: both canonical-assignment consumers
             # must emit O(n) rows (one per object) at EVERY tier — the
