@@ -412,7 +412,15 @@ def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_search_oracle(n_probe_cells: int = 1) -> str:
+def _ivf_search_oracle(n_probe_cells: int = 1,
+                       adapt_margin: float | None = None) -> str:
+    # fixed dial: keep the n_probe_cells best cells.  adaptive dial:
+    # keep cells whose centroid cosine is within ``adapt_margin`` of
+    # the best cell's, capped at n_probe_cells — easy probes scan one
+    # cell, ambiguous probes scan more (the FAISS nprobe heuristic,
+    # additive because cosine can be negative).
+    adapt = (f"AND ccos >= best - {adapt_margin}"
+             if adapt_margin is not None else "")
     return f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
@@ -435,10 +443,11 @@ def _ivf_search_oracle(n_probe_cells: int = 1) -> str:
         GROUP BY p.vec_id, c.label, pn.nrm, cn.nrm),
     assigned AS (
         SELECT vec_id, label FROM (
-            SELECT vec_id, label,
+            SELECT vec_id, label, ccos,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY ccos DESC, label) AS rn
-            FROM pc) WHERE rn <= {n_probe_cells}),
+                                      ORDER BY ccos DESC, label) AS rn,
+                   max(ccos) OVER (PARTITION BY vec_id) AS best
+            FROM pc) WHERE rn <= {n_probe_cells} {adapt}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_cos_sql('q.emb', 'c.emb')} AS cos
@@ -454,9 +463,12 @@ def _ivf_search_oracle(n_probe_cells: int = 1) -> str:
 
 
 def _ivf_search_impl(spark: SparkSession, sf_dir: str,
-                     n_probe_cells: int, k: int = IVF_K) -> DataFrame:
+                     n_probe_cells: int, k: int = IVF_K,
+                     adapt_margin: float | None = None) -> DataFrame:
     """Shared IVF pipeline: assign each probe to its ``n_probe_cells``
-    nearest centroids, exact top-k within those cells only."""
+    nearest centroids (with ``adapt_margin`` set, only those within
+    that cosine margin of the best cell — the adaptive dial), exact
+    top-k within those cells only."""
     e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     expl = e.select(
@@ -483,8 +495,14 @@ def _ivf_search_impl(spark: SparkSession, sf_dir: str,
                 (F.col("dot") / (F.col("pn") * F.col("cn"))).alias("ccos"))
     )
     wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    keep = F.col("rn") <= n_probe_cells
+    if adapt_margin is not None:
+        keep = keep & (F.col("ccos")
+                       >= F.col("best") - F.lit(adapt_margin))
     assigned = (pc.withColumn("rn", F.row_number().over(wassign))
-                .filter(F.col("rn") <= n_probe_cells)
+                .withColumn("best", F.max("ccos").over(
+                    Window.partitionBy("vec_id")))
+                .filter(keep)
                 .select("vec_id", "label"))
 
     q = (F.broadcast(probes.select("vec_id", "emb").join(assigned, "vec_id"))
@@ -587,6 +605,122 @@ def sim_ivf_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_hit",
                 F.round(F.col("n_hit") / IVF_K, 6).alias("recall_at_k"))
     )
+
+
+# Adaptive probe dial (round 14): both fixed dials spend the SAME scan
+# budget on every probe — 1 or 2 cells — even though most queries'
+# nearest centroid is unambiguous and a minority sit between cells
+# (those are where the single-cell recall loss concentrates; the r13/
+# r14 verdicts' 0.21-0.25 recall commentary is cell-membership at a
+# FIXED 2-of-10 dial).  The adaptive rule probes every cell within
+# IVF_ADAPT_MARGIN cosine of the best cell, capped at
+# IVF_ADAPT_MAX_CELLS: easy probes scan 1 cell, ambiguous probes up to
+# {cap} — the FAISS-style budget-where-it-helps heuristic, additive
+# because cosine can be negative.  All three queries (search, recall
+# twin, probe-count stats) are oracle-gated, so the recall-vs-scan
+# trade is value-checked at BOTH ends: what it recovers (recall) and
+# what it spends (cells probed).
+IVF_ADAPT_MARGIN = 0.05
+IVF_ADAPT_MAX_CELLS = 4
+
+
+@query("sim_ivf_search_adaptive",
+       oracle=_ivf_search_oracle(IVF_ADAPT_MAX_CELLS, IVF_ADAPT_MARGIN))
+def sim_ivf_search_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the ADAPTIVE probe dial: each probe scans every
+    cell whose centroid cosine is within {m} of its best cell's, capped
+    at {cap} cells — variable scan budget spent exactly where the fixed
+    dials lose recall (probes that sit between cells). Exact top-k
+    within the probed cells; whole pipeline oracle-replicated including
+    the margin rule. Read with ``sim_ivf_recall_adaptive`` (what it
+    recovers) and ``sim_ivf_adaptive_probe_stats`` (what it spends)."""
+    return _ivf_search_impl(spark, sf_dir, IVF_ADAPT_MAX_CELLS,
+                            adapt_margin=IVF_ADAPT_MARGIN)
+
+
+sim_ivf_search_adaptive.__doc__ = sim_ivf_search_adaptive.__doc__.format(
+    m=IVF_ADAPT_MARGIN, cap=IVF_ADAPT_MAX_CELLS)
+
+
+def _ivf_recall_adaptive_oracle() -> str:
+    from dask_lambda_example_spark.registry import QUERIES
+
+    exact = QUERIES["sim_cosine_topk_bruteforce"].oracle
+    ivf = QUERIES["sim_ivf_search_adaptive"].oracle
+    return f"""
+    WITH exact_full AS ({exact}),
+    ivf_full AS ({ivf}),
+    exact_k AS (SELECT query_id, neighbor_id FROM exact_full
+                WHERE rank <= {IVF_K}),
+    hits AS (
+        SELECT e.query_id, count(a.neighbor_id) AS n_hit
+        FROM exact_k e
+        LEFT JOIN ivf_full a ON a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id)
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit * 1.0 / {IVF_K}, 6) AS recall_at_k
+    FROM hits
+    """
+
+
+@query("sim_ivf_recall_adaptive", oracle=_ivf_recall_adaptive_oracle())
+def sim_ivf_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the adaptive-probe IVF search — read next to
+    ``sim_ivf_recall_report`` (1 cell) and ``sim_ivf_recall_multiprobe``
+    (2 cells): the three rows ARE the measured recall-vs-scan curve,
+    with the adaptive point spending its extra cells only on ambiguous
+    probes (``sim_ivf_adaptive_probe_stats`` prices that side)."""
+    exact_k = (sim_cosine_topk_bruteforce(spark, sf_dir)
+               .filter(F.col("rank") <= IVF_K)
+               .select("query_id", "neighbor_id"))
+    ivf = (sim_ivf_search_adaptive(spark, sf_dir)
+           .select("query_id", F.col("neighbor_id").alias("ivf_neighbor")))
+    return (
+        exact_k.join(
+            ivf, (exact_k.query_id == ivf.query_id)
+            & (exact_k.neighbor_id == ivf.ivf_neighbor), "left")
+        .groupBy(exact_k.query_id.alias("query_id"))
+        .agg(F.count("ivf_neighbor").alias("n_hit"))
+        .select("query_id", "n_hit",
+                F.round(F.col("n_hit") / IVF_K, 6).alias("recall_at_k"))
+    )
+
+
+def _ivf_adaptive_stats_oracle() -> str:
+    ivf = _ivf_search_oracle(IVF_ADAPT_MAX_CELLS, IVF_ADAPT_MARGIN)
+    return f"""
+    WITH ivf_full AS ({ivf}),
+    cells AS (SELECT s.query_id, count(DISTINCT e.label) AS n_cells
+              FROM ivf_full s JOIN embeddings e
+                ON e.vec_id = s.neighbor_id
+              GROUP BY s.query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(n_cells) AS BIGINT) AS cells_scanned,
+           round(avg(n_cells), 6) AS avg_cells
+    FROM cells
+    """
+
+
+@query("sim_ivf_adaptive_probe_stats", oracle=_ivf_adaptive_stats_oracle())
+def sim_ivf_adaptive_probe_stats(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The SPEND side of the adaptive dial: how many cells the adaptive
+    rule actually scanned, aggregated over probes (n_probes,
+    cells_scanned, avg_cells) — derived from the search output's
+    neighbor cells, so the oracle prices exactly what the search
+    emitted. avg_cells ≈ 1.x on an easy corpus vs the fixed dial's
+    flat 2.0: the budget concentrates on ambiguous probes."""
+    search = sim_ivf_search_adaptive(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label")
+    cells = (search.join(e, search.neighbor_id == e.vec_id)
+             .groupBy("query_id")
+             .agg(F.countDistinct("label").alias("n_cells")))
+    return cells.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("n_cells").cast("long").alias("cells_scanned"),
+        F.round(F.avg("n_cells"), 6).alias("avg_cells"))
 
 
 @query(

@@ -108,6 +108,11 @@ PRIORITY_QUERIES = (
     # the REAL MJPEG demux + JPEG decode, same bucket-min canonical
     # form; closes the text/image/audio/video modality matrix.
     "dedup_video_fingerprint",
+    # r14 fourth wave: the adaptive IVF probe dial (margin-of-best cell
+    # keep, capped) + its recall twin + the probe-spend stats — the
+    # measured answer to the fixed-dial recall commentary.
+    "sim_ivf_search_adaptive", "sim_ivf_recall_adaptive",
+    "sim_ivf_adaptive_probe_stats",
     # REVERIFY re-earn (saturated-encode helpers lifted to module level
     # for the rerank path — identical expressions, changed code):
     "sim_ivf_incremental_ingest",

@@ -984,3 +984,22 @@ def test_canonical_consumers_are_bucket_min_equijoins(spark, sf_dir):
         assert any("v#" in j for j in joins), (name, joins)
         assert any("doc_id#" in j and "LeftOuter" in j
                    for j in joins), (name, joins)
+
+
+def test_adaptive_probe_keeps_ivf_plan_shape(spark, sf_dir):
+    # the adaptive dial (round 14) changes only the cell-keep predicate
+    # — the plan must stay the IVF shape: centroid tables broadcast,
+    # probe-side join broadcast, no cartesian/BNLJ, and the in-cell
+    # scan an equi-join on the cell label.
+    import re
+
+    from dask_lambda_example_spark.plans.inspect import physical_plan
+
+    df = QUERIES["sim_ivf_search_adaptive"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
+                       r"BroadcastHashJoin)[^\n]*", plan)
+    assert any("label#" in j for j in joins) or "label#" in plan, joins
+    assert "Window" in plan  # the margin rule's best-cell window
