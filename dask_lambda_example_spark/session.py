@@ -36,6 +36,34 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 XLOG_STDERR_OPTS = "-Xlog:disable -Xlog:all=warning:stderr"
 
 
+def _default_local_dir() -> str | None:
+    """Fast scratch space for shuffle files and block-manager spill.
+
+    Spark's default (``/tmp``) sits on the sandbox's virtual block
+    device here, and the shuffle file write+fetch path is what pays for
+    it: a warm 1 M-row/32-partition groupBy measured 2.1-2.8 s against
+    /tmp vs 0.47 s against tmpfs — the per-shuffle floor under every
+    query in the battery (optimization guide §2.1: "local disk
+    bandwidth for shuffle files can be the tighter limit"). Prefer
+    ``/dev/shm`` when it is present and writable; on a real cluster
+    the same knob points at striped local NVMe (standard practice) and
+    the env override wins either way. Returns ``None`` when no tmpfs
+    is available so the caller keeps Spark's default.
+
+    RAM posture: shuffle/spill blocks in tmpfs consume page-cache-like
+    memory OUTSIDE the 16 g JVM heap; the sandbox has 128 GiB and the
+    largest battery tier (sf10) peaks well under the headroom. If a
+    future tier outgrows it, set SPARK_GRAFT_LOCAL_DIR=/tmp to restore
+    the disk-backed default."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark_graft_local")
+    return None
+
+
 def _xlog_submit_args(submit_args: str, opts: str) -> str:
     """Thread the ``-Xlog`` stderr routing into ``PYSPARK_SUBMIT_ARGS``.
 
@@ -131,6 +159,9 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         # measurably degrades a long multi-query session — keep the
         # default; per-query parallelism needs are handled with explicit
         # repartition instead.)
+        local_dir = _default_local_dir()
+        if local_dir:
+            builder = builder.config("spark.local.dir", local_dir)
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         ).config(
