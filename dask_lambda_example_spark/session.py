@@ -113,6 +113,13 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (Size-first AQE coalescing — parallelismFirst=false — was
+        # re-measured this round with interleaved A/B pairs and is a
+        # NET LOSS here: median best-ratio 1.295 across 12 heavy
+        # queries, worst 2.96x on dedup_jaccard_pairs — the CPU-dense/
+        # byte-light aggregations need the parallelism far more than
+        # the tiny exchanges cost in scheduling. BENCH_ab artifact in
+        # OPTIMIZATION_r14.md; keep parallelism-first.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
