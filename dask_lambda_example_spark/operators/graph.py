@@ -152,7 +152,8 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
-def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame,
+                       deg: DataFrame | None = None) -> DataFrame:
     """The broadcast-formulation recurrence shared by every PageRank
     query: rank and degree vectors are |nodes|-sized → broadcast; each
     iteration's only shuffle groups contributions by destination. The
@@ -169,9 +170,17 @@ def _pr_broadcast_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     90 g heap and OOM'd the SparkContext outright on the production
     16 g heap. Materialized, each iteration is one bounded job over
     the checkpointed edges and the broadcasts build from |nodes|-row
-    LogicalRDDs."""
-    deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-           .localCheckpoint(eager=True))
+    LogicalRDDs.
+
+    ``deg`` may be passed in pre-materialized (the trade-graph callers
+    derive the node set FROM it — deg's keys are exactly the distinct
+    edge sources, so one aggregation+checkpoint serves both and the
+    separate nodes-distinct job disappears); when ``None`` it is built
+    and checkpointed here exactly as before (crawl graph, whose node
+    set is the document corpus, not the edge sources)."""
+    if deg is None:
+        deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+               .localCheckpoint(eager=True))
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(PR_ITERS):
         contrib = (
@@ -274,9 +283,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   storageLevel=_edge_ckpt_level(e_bound)))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-    nodes = (edges.select(F.col("src").alias("node")).distinct()
-             .localCheckpoint(eager=True))
-    return _pr_broadcast_loop(nodes, edges)
+    # ONE aggregation+checkpoint yields both loop vectors: the degree
+    # table's keys ARE the distinct edge sources (= the node set of the
+    # symmetrized graph), so the former separate nodes-distinct
+    # checkpoint job is a projection of deg (optimization round 14).
+    deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+           .localCheckpoint(eager=True))
+    nodes = deg.select(F.col("src").alias("node"))
+    return _pr_broadcast_loop(nodes, edges, deg)
 
 
 graph_pagerank.__doc__ = graph_pagerank.__doc__.format(n=PR_ITERS)
@@ -357,11 +371,21 @@ def graph_pagerank_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .repartition(n_part, "src")
                  .localCheckpoint(eager=True,
                                   storageLevel=_edge_ckpt_level(e_bound)))
+        # Materialize the degree vector ONCE, exchange-free off the
+        # src-partitioned edges, still under AQE-off so the |nodes|-row
+        # checkpoint advertises hashpartitioning(src, n_part) and every
+        # iteration's deg join stays co-partitioned. Lazy, the loop's
+        # final plan re-aggregated the full edge list PR_ITERS times
+        # (once per iteration's deg subtree — measured in the unrolled
+        # plan); checkpointed, each iteration reads |nodes| rows. The
+        # node set is deg's key projection (distinct edge sources), so
+        # the former per-iteration nodes-distinct subtree disappears
+        # with it (optimization round 14).
+        deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+               .localCheckpoint(eager=True))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-    # both derive from the already-src-partitioned edges → no exchange
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
     return _pr_shuffled_loop(nodes, edges, deg)
 
 
@@ -607,9 +631,13 @@ def graph_crawl_pagerank_copartitioned(spark: SparkSession,
         edges = (e0.repartition(n_part, "src")
                  .localCheckpoint(eager=True,
                                   storageLevel=_edge_ckpt_level(e_bound)))
+        # same discipline as the trade sibling: one exchange-free
+        # aggregation+checkpoint under AQE-off replaces PR_ITERS lazy
+        # re-aggregations of the checkpointed edge list
+        deg = (edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+               .localCheckpoint(eager=True))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (load_table(spark, sf_dir, "documents")
              .select(F.col("doc_id").alias("node")))
     return _pr_shuffled_loop(nodes, edges, deg)
