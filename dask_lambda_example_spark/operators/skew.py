@@ -81,8 +81,10 @@ _WAREHOUSE_TABLES_READY: set[tuple[int, str]] = set()
 # conf, not settable at query time). Per-PID so a concurrent process
 # (e.g. a subprocess harness) can't rmtree files a session in THIS
 # process has already listed in its cached table relation.
+from dask_lambda_example_spark.session import fast_scratch_dir
+
 _BUCKET_DIR = os.path.join(
-    tempfile.gettempdir(), f"spark_graft_warehouse_{os.getpid()}")
+    fast_scratch_dir(), f"spark_graft_warehouse_{os.getpid()}")
 
 
 @query(

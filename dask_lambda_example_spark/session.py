@@ -64,6 +64,38 @@ def _default_local_dir() -> str | None:
     return None
 
 
+def fast_scratch_dir() -> str:
+    """Root for QUERY-OWNED scratch: write-and-read-back format dirs,
+    streaming state checkpoints, the Derby JDBC db, the bucketed-table
+    warehouse. Same fast-medium preference as the shuffle local dir
+    (and the same env override) — streaming state stores in particular
+    do many small checkpoint writes per microbatch, which the slow
+    /tmp block device turns into the dominant per-batch cost. Distinct
+    leaf from the Spark-managed local dir so Spark's own cleanup never
+    races ours. Falls back to the system tempdir when no tmpfs exists.
+    The dir is created here because ``tempfile.mkdtemp(dir=...)``
+    requires an existing parent."""
+    base = _default_local_dir()
+    root = (os.path.join(os.path.dirname(base), "spark_graft_scratch")
+            if base else tempfile.gettempdir())
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def scratch_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` on the fast scratch medium with an atexit
+    rmtree: checkpoint/sink dirs used to leak to /tmp (the container's
+    cleanup problem); on tmpfs a leak is RAM, so every dir created here
+    is reclaimed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix=prefix, dir=fast_scratch_dir())
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _xlog_submit_args(submit_args: str, opts: str) -> str:
     """Thread the ``-Xlog`` stderr routing into ``PYSPARK_SUBMIT_ARGS``.
 
@@ -142,9 +174,10 @@ def get_spark(app_name: str = "dask_lambda_example_spark",
         # chars truncates them) — the plan-contract tests parse these
         .config("spark.sql.maxMetadataStringLength", "2000")
         # fixed writable warehouse for bucketed saveAsTable regardless
-        # of the driver's cwd
+        # of the driver's cwd — on the fast scratch medium (bucketed
+        # writes + read-backs are measured query paths)
         .config("spark.sql.warehouse.dir",
-                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
+                os.path.join(fast_scratch_dir(), "spark_graft_warehouse"))
     )
     if not os.environ.get("SPARK_GRAFT_REMOTE"):
         # Local test/bench mode: single JVM. Driver heap is 16g, NOT

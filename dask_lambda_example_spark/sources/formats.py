@@ -35,13 +35,15 @@ from dask_lambda_example_spark.registry import query
 # concurrent processes sharing one scratch root race between one
 # process's overwrite and the other's read-back — observed as a flaky
 # fmt_compaction_small_files when pytest and a parity sweep overlap.
-_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_formats",
+from dask_lambda_example_spark.session import fast_scratch_dir
+
+_SCRATCH = os.path.join(fast_scratch_dir(), "spark_graft_formats",
                         f"pid_{os.getpid()}")
 # Single source of truth for the per-PID Derby scratch root: _jdbc_opts
 # builds the db path under it and the atexit cleanup removes it — one
 # constant, so the two can never drift apart (ADVICE r6: the cleanup
 # used to re-derive the path independently).
-_JDBC_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_jdbc",
+_JDBC_SCRATCH = os.path.join(fast_scratch_dir(), "spark_graft_jdbc",
                              f"pid_{os.getpid()}")
 
 # Per-PID scratch must not accumulate across runs (ADVICE r5): remove

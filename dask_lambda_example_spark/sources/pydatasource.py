@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader, WriterCommitMessage)
 
 from dask_lambda_example_spark.registry import query
+from dask_lambda_example_spark.session import scratch_mkdtemp
 
 N_PARTS = 8
 ROWS_PER_PART = 5000
@@ -192,7 +193,7 @@ def src_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _mem_table("pyds_stream")
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_pyds_")
+    ckpt = scratch_mkdtemp("ckpt_pyds_")
     with _stream_state_partitions(spark):
         q = (stream.writeStream.outputMode("append")
              .format("memory").queryName(table)
@@ -339,7 +340,7 @@ def src_python_datasink_roundtrip(spark: SparkSession,
     from dask_lambda_example_spark.io import load_table
 
     spark.dataSource.register(JsonlSinkDataSource)
-    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    out = scratch_mkdtemp("jsonl_sink_")
     rows = (load_table(spark, sf_dir, "orders")
             .filter(F.col("o_orderkey") % 10 == 0)
             .select("o_orderkey", "o_orderstatus", "o_totalprice"))

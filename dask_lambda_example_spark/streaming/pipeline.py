@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_lambda_example_spark.registry import query
+from dask_lambda_example_spark.session import scratch_mkdtemp
 
 _COUNTER = {"n": 0}
 
@@ -104,7 +105,7 @@ def run_available_now(df: DataFrame, table: str,
     """Lambda-style episodic execution (A19/A20): process all files
     currently present, then stop — ``Trigger.AvailableNow`` with a
     throwaway checkpoint, memory sink for the result."""
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = scratch_mkdtemp("ckpt_")
     with _stream_state_partitions(df.sparkSession):
         q = (df.writeStream.outputMode(output_mode)
              .format("memory").queryName(table)
@@ -122,7 +123,7 @@ def run_processing_time(df: DataFrame, table: str, cadence: str,
     ``Trigger.ProcessingTime`` — poll the source every ``cadence`` and
     process whatever arrived. Returns the running StreamingQuery; the
     caller owns ``stop()``."""
-    ckpt = tempfile.mkdtemp(prefix="ckpt_pt_")
+    ckpt = scratch_mkdtemp("ckpt_pt_")
     with _stream_state_partitions(df.sparkSession):
         return (df.writeStream.outputMode(output_mode)
                 .format("memory").queryName(table)
@@ -254,7 +255,7 @@ def foreach_batch_to_parquet(spark: SparkSession, sf_dir: str,
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
+    ckpt = scratch_mkdtemp("ckpt_fb_")
     with _stream_state_partitions(spark):
         q = (
             events_stream(spark, sf_dir)
@@ -511,7 +512,7 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("name").agg(
         F.count("*").alias("n"), F.avg("value").alias("mean_v"))
     table = _mem_table("stream_rate")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
+    ckpt = scratch_mkdtemp("ckpt_rate_")
     with _stream_state_partitions(spark):
         q = (agg.writeStream.outputMode("complete")
              .format("memory").queryName(table)
