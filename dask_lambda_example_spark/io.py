@@ -26,6 +26,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Row bound under which load_table(parallel=True) skips its round-robin
+# rebalance (see load_table docstring). Sized to the heaviest per-row
+# work in the battery (document shingling+hashing, ~1 ms/row: 3,000
+# rows ≈ the exchange's own scheduling cost on this host); numeric
+# per-row work (vector folds, PQ encodes, ~15 µs/row) breaks even far
+# higher. Env-tunable per deployment.
+try:
+    PARALLEL_MIN_ROWS = int(
+        os.environ.get("SPARK_GRAFT_PARALLEL_MIN_ROWS", "3000"))
+except ValueError:
+    PARALLEL_MIN_ROWS = 3000
+
 # Runtime-settable SQL confs every query needs regardless of which
 # SparkSession it runs in. The verification driver (and any real user of
 # this library) constructs its own bare session without session.py's
@@ -90,6 +102,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     downstream they would otherwise run on the file's single input
     partition. At real scale the source has many splits and this
     becomes a cheap (or unnecessary) rebalance.
+
+    The rebalance is GATED on the table's footer row count
+    (optimization round 14, measured): below ``PARALLEL_MIN_ROWS`` the
+    round-robin exchange costs a full extra stage (~0.3-0.5 s of
+    scheduling on this host) while the single-partition compute it
+    replaces is milliseconds — the guide §2.4 rule ("a repartition
+    someone added for parallelism" is the canonical accidental
+    exchange), sized from input metadata so the SAME code keeps the
+    rebalance wherever the input is big enough for it to pay.
     """
     ensure_portable_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -105,7 +126,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif name == "events" and ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if parallel:
+    if parallel and parquet_rowcount(sf_dir, name) >= PARALLEL_MIN_ROWS:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -129,6 +150,10 @@ def table_files(sf_dir: str, name: str, pattern: str = "*.parquet") -> list:
     return files
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def parquet_rowcount(sf_dir: str, name: str) -> int:
     """Exact row count of one driver table from parquet FOOTER metadata —
     a driver-local file-stat read, NO Spark job. Operators that size an
