@@ -538,31 +538,32 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark primitives: a codegen'd bit-interleave expression +
     ``repartitionByRange`` on the z-value + ``sortWithinPartitions``.
 
-    Files are QUANTIZED z-ranges: the writer range-partitions on the
-    top-8-bit z block id (a 16×16 fine quad grid), NOT on raw ``z``.
-    Raw-z range partitioning derives boundaries from sampled
-    quantiles, and with equal-mass quad blocks the true quantiles sit
-    exactly ON the block edges — the degenerate point for a sampler —
-    so noise pushes every boundary strictly inside a block, each file
-    straddles two blocks, and ONE straddling row poisons the file's
-    absolute min/max footer span.  That made the measured contract
-    below a coin flip around its own threshold (the r14 sf0.1 ledger
-    caught it: 3/16 skippable after five green rounds, the sampling
-    seeds shifted by battery order alone).  A DISCRETE 256-value block
-    id fixes it: range bounds are block-id values, so partition edges
-    land BETWEEN fine blocks, never inside — every file is a union of
-    whole 1/16-extent quad cells and its span is quantized.  Under
-    maximal boundary-sampling noise the per-dimension skip count for
-    the central band stays ≥ 6/16 (only the run-boundary files whose
-    next-in-z fine cells enter the band's quarter can lose
-    skippability), comfortably over the gate.  Equal-MASS splitting of
-    the discrete ids also keeps all 16 writers busy when the two keys
-    are CORRELATED (a diagonal key space populates only ~6 of the 16
-    coarse blocks — the builder's replica-constructed sf10 tier does
-    exactly this, and real part/supplier keys correlate too): an
-    explicit coarse-block partitioning lost 5× write parallelism
-    there, while quantized ranges keep 16 equal-mass files of
-    contiguous diagonal cells.
+    Files are QUANTIZED z-ranges with DETERMINISTIC boundaries: the
+    writer first aggregates the exact row count per top-8-bit z block
+    id (a 16×16 fine quad grid — ≤256 rows, driver-safe at any corpus
+    size; the stats pre-pass every production OPTIMIZE/cluster rewrite
+    runs), greedily cuts the block histogram into ``N_ZORDER_FILES``
+    equal-MASS contiguous runs, and routes rows to their file id with
+    a generated when-chain + ``partitionBy`` — one file per id by
+    construction.  The two earlier formulations both left a SAMPLER in
+    the path and flaked in-battery: raw-z ``repartitionByRange``
+    degenerates because the true quantiles sit exactly ON block edges
+    (one straddling row poisons a file's min/max footer span — the
+    r14 sf0.1 ledger's 3/16), and block-id range partitioning still
+    derives its bounds from ``repartitionByRange``'s reservoir sample,
+    whose seed is the exchange RDD's id — i.e. the query's position in
+    the battery — which re-flaked at 3/16 in this round's sf0.1 noop
+    ledger while 12/12 fresh-session runs passed.  Exact-histogram
+    boundaries remove the sampler entirely: file edges land BETWEEN
+    fine blocks, never inside — every file is a union of whole
+    1/16-extent quad cells, its span is quantized, and the layout is a
+    pure function of the data.  Equal-mass cuts also keep the writers
+    busy when the two keys are CORRELATED (a diagonal key space
+    populates only ~6 of the 16 coarse blocks — the replica-built sf10
+    tier does exactly this): each of the 16 ids carries ~1/16 of the
+    rows, so the ``repartition(N, fid)`` write runs ~10-16 concurrent
+    writers (hash collisions idle a few tasks; a task holding two ids
+    still emits one file per id via ``partitionBy``).
 
     The contract is measured from the parquet footers, not asserted
     from theory: for the central 10% band of each dimension's domain,
@@ -581,17 +582,44 @@ def fmt_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
     pk_rng = _footer_minmax(sf_dir, "lineitem", "l_partkey")
     sk_rng = _footer_minmax(sf_dir, "lineitem", "l_suppkey")
-    # top-8 z bits = the 16x16 fine quad grid; equal-mass range split
-    # over the DISCRETE block ids (bounds land between blocks, never
-    # inside — see the docstring), z tie-broken within each file.
-    (li.withColumn("z", zorder_key(F.col("l_partkey"), pk_rng,
-                                   F.col("l_suppkey"), sk_rng))
-       .withColumn("zb", F.shiftrightunsigned(
-           F.col("z"), 2 * ZORDER_BITS - ZORDER_BLOCK_BITS).cast("int"))
-       .repartitionByRange(N_ZORDER_FILES, "zb")
-       .sortWithinPartitions("zb", "z")
-       .drop("z", "zb")
-       .write.mode("overwrite").parquet(path))
+    # top-8 z bits = the 16x16 fine quad grid; DETERMINISTIC equal-mass
+    # split over the DISCRETE block ids from the exact histogram (no
+    # sampler in the path — see the docstring), z tie-broken within
+    # each file.
+    zed = (li.withColumn("z", zorder_key(F.col("l_partkey"), pk_rng,
+                                         F.col("l_suppkey"), sk_rng))
+             .withColumn("zb", F.shiftrightunsigned(
+                 F.col("z"), 2 * ZORDER_BITS - ZORDER_BLOCK_BITS)
+                 .cast("int")))
+    hist = sorted(map(tuple, zed.groupBy("zb").count().collect()))
+    total = sum(c for _, c in hist)
+    if len(hist) < N_ZORDER_FILES:
+        raise ValueError(
+            f"only {len(hist)} populated z blocks < {N_ZORDER_FILES} "
+            "target files — the block grid is too coarse for this "
+            "corpus; raise ZORDER_BLOCK_BITS")
+    # greedy equal-mass cuts AFTER whole blocks: bounds[i] = last zb of
+    # file i (never inside a block), last file takes the remainder. The
+    # blocks-left == cuts-left clause forces the tail cuts when a heavy
+    # block swallowed more than one quota, so exactly N files result.
+    bounds: list[int] = []
+    cum = 0
+    for idx, (zb, c) in enumerate(hist):
+        cum += c
+        cuts_left = (N_ZORDER_FILES - 1) - len(bounds)
+        blocks_left = len(hist) - idx - 1
+        if cuts_left and (
+                cum >= total * (len(bounds) + 1) // N_ZORDER_FILES
+                or blocks_left <= cuts_left):
+            bounds.append(zb)
+    fid = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        fid = F.when(F.col("zb") <= bounds[i], i).otherwise(fid)
+    (zed.withColumn("fid", fid.cast("int"))
+        .repartition(N_ZORDER_FILES, "fid")
+        .sortWithinPartitions("fid", "z")
+        .drop("z", "zb")
+        .write.mode("overwrite").partitionBy("fid").parquet(path))
 
     local = path.removeprefix("file://")
     spans: dict[str, list[tuple[int, int]]] = {"l_partkey": [],
