@@ -1686,14 +1686,30 @@ def test_parallel_load_defeats_single_row_group(spark, sf_dir):
     # so CPU-dense scans collapse to ONE task regardless of cores
     # (byte-range splits can't help — a range with no row-group start
     # reads nothing). parallel=True must rebalance to session
-    # parallelism; pruning still pushes below the exchange.
-    from dask_lambda_example_spark.io import load_table
+    # parallelism ONCE THE TABLE IS BIG ENOUGH for the exchange to pay
+    # (optimization round 14: below PARALLEL_MIN_ROWS the rebalance is
+    # a full scheduled stage buying milliseconds of single-partition
+    # compute, so it is skipped — partitioning derives from footer row
+    # count). Both sides of the size gate are pinned here.
+    from dask_lambda_example_spark.io import (
+        PARALLEL_MIN_ROWS, load_table, parquet_rowcount)
 
+    n = spark.sparkContext.defaultParallelism
     plain = load_table(spark, sf_dir, "documents")
     par = load_table(spark, sf_dir, "documents", parallel=True)
-    n = spark.sparkContext.defaultParallelism
-    assert par.rdd.getNumPartitions() == n
+    if parquet_rowcount(sf_dir, "documents") >= PARALLEL_MIN_ROWS:
+        assert par.rdd.getNumPartitions() == n
+    else:
+        # tiny tier: the rebalance must be ABSENT (no round-robin
+        # exchange for a sub-bound table)
+        assert par.rdd.getNumPartitions() < n
     assert plain.count() == par.count()
+
+    big = load_table(spark, "/root/testdata/sf0.1", "lineitem",
+                     parallel=True)
+    assert parquet_rowcount("/root/testdata/sf0.1",
+                            "lineitem") >= PARALLEL_MIN_ROWS
+    assert big.rdd.getNumPartitions() == n
 
 
 def test_scale_campaign_artifacts_are_sane():
