@@ -1177,7 +1177,11 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = parquet_column_ndv(sf_dir, "embeddings", "label")
     sub_bits = min(
         adaptive_extra_bits(n // max(n_cells, 1), SEM_CELL_N_THRESHOLD), 24)
-    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+    # parallel="force": the in-cell self-join broadcasts one side at
+    # small scale, so the stream side's input partitioning is the only
+    # parallelism the sum-of-|cell|^2 cosine folds get — the row-count
+    # floor must not collapse it to one partition (VERDICT r14 item 1).
+    e = load_table(spark, sf_dir, "embeddings", parallel="force").select(
         "vec_id", F.col("label").cast("string").alias("label"),
         as_double(F.col("embedding")).alias("emb"))
     # concat_ws in BOTH branches (with a single operand it is the

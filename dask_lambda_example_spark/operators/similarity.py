@@ -155,8 +155,13 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for scale: ``broadcast(probes)`` × corpus scan (no corpus
     shuffle) → per-query TopK window. Ties broken by neighbor_id for
-    determinism; ranking uses the unrounded score."""
-    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+    determinism; ranking uses the unrounded score.
+
+    ``parallel="force"``: the probe side broadcasts, so the corpus
+    scan's partitioning is the ONLY parallelism the O(probes x corpus)
+    cosine folds get — the row-count floor must not collapse it to one
+    partition at small corpus sizes (VERDICT r14 item 1)."""
+    e = load_table(spark, sf_dir, "embeddings", parallel="force").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")).withColumn(
         "nrm", l2norm(F.col("emb")))
     probes = e.filter(_probe_filter())
@@ -200,8 +205,10 @@ SIM_THRESHOLD = 0.3
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: probe set × corpus, keep pairs with cosine ≥ t.
     Broadcast probe side; the threshold filter sits directly on the
-    codegen'd cosine expression."""
-    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+    codegen'd cosine expression. ``parallel="force"``: same shape as
+    ``sim_cosine_topk_bruteforce`` — the broadcast join leaves the
+    corpus scan's partitioning as the fold work's only parallelism."""
+    e = load_table(spark, sf_dir, "embeddings", parallel="force").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     ).withColumn("nrm", l2norm(F.col("emb")))
     probes = e.filter(_probe_filter())

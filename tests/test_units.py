@@ -1705,10 +1705,9 @@ def test_parallel_load_defeats_single_row_group(spark, sf_dir):
         assert par.rdd.getNumPartitions() < n
     assert plain.count() == par.count()
 
-    big = load_table(spark, "/root/testdata/sf0.1", "lineitem",
-                     parallel=True)
-    assert parquet_rowcount("/root/testdata/sf0.1",
-                            "lineitem") >= PARALLEL_MIN_ROWS
+    big_sf = _testdata_tier("sf0.1")
+    big = load_table(spark, big_sf, "lineitem", parallel=True)
+    assert parquet_rowcount(big_sf, "lineitem") >= PARALLEL_MIN_ROWS
     assert big.rdd.getNumPartitions() == n
 
 
@@ -2174,6 +2173,21 @@ def test_video_fingerprint_decode_matches_generating_arithmetic():
 # --- optimization round 14: internals changed for performance ---------------
 
 
+def _testdata_tier(tier: str) -> str:
+    """Path of a testdata tier, derived from the configured test sf_dir
+    (ADVICE r14: tiers must not be hardcoded so the suite runs — or
+    skips cleanly — on hosts without the /root/testdata layout)."""
+    import pathlib
+
+    from .conftest import SF_DIR
+
+    root = pathlib.Path(SF_DIR).parent
+    path = root / tier
+    if not (path / "documents.parquet").exists():
+        pytest.skip(f"testdata tier {tier} absent under {root}")
+    return str(path)
+
+
 def test_load_table_parallel_gate_scales_with_rowcount(spark):
     """parallel=True's round-robin rebalance derives from footer row
     count: absent under PARALLEL_MIN_ROWS (the exchange costs a full
@@ -2182,8 +2196,8 @@ def test_load_table_parallel_gate_scales_with_rowcount(spark):
     from dask_lambda_example_spark.io import (
         PARALLEL_MIN_ROWS, load_table, parquet_rowcount)
 
-    small_sf = "/root/testdata/sf0.001"
-    big_sf = "/root/testdata/sf0.1"
+    small_sf = _testdata_tier("sf0.001")
+    big_sf = _testdata_tier("sf0.1")
     assert parquet_rowcount(small_sf, "documents") < PARALLEL_MIN_ROWS
     assert parquet_rowcount(big_sf, "lineitem") >= PARALLEL_MIN_ROWS
     small_plan = load_table(
@@ -2194,6 +2208,23 @@ def test_load_table_parallel_gate_scales_with_rowcount(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "roundrobin" not in small_plan.lower()
     assert "roundrobin" in big_plan.lower()
+
+
+def test_load_table_parallel_force_ignores_row_floor(spark):
+    """parallel="force" rebalances regardless of the footer row count —
+    the escape hatch for broadcast-join consumers whose fold work has
+    no other source of parallelism (VERDICT r14 item 1: the global
+    floor de-parallelized the brute-force cosine family 1.5-4x)."""
+    from dask_lambda_example_spark.io import (
+        PARALLEL_MIN_ROWS, load_table, parquet_rowcount)
+
+    small_sf = _testdata_tier("sf0.001")
+    assert parquet_rowcount(small_sf, "documents") < PARALLEL_MIN_ROWS
+    forced = load_table(spark, small_sf, "documents", parallel="force")
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower()
+    assert forced.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
 
 
 def test_pq_expression_cache_reuses_per_context(spark):
